@@ -1,0 +1,152 @@
+"""Typed config tree for the whole engine.
+
+One dataclass hierarchy replaces the reference's rosinterface_handler params +
+launch YAML layers (``cfg/MonoLidar.rosif:34-92``,
+``launch/keyframe_ba_monolid.launch:38-63``). Defaults follow the KITTI launch
+values where those differ from the .rosif defaults (noted inline).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class CapacityConfig:
+    """Static array capacities — XLA needs fixed shapes; the reference's own
+    caps (window 20 kf, 300-per-bin landmarks) define natural bounds."""
+
+    max_keyframes: int = 20          # max_size_optimization_window (rosif default)
+    max_landmarks: int = 1536        # >= near+middle+far caps + gp guarantees
+    max_cameras: int = 1
+    max_obs_per_landmark: int = 20   # = max_keyframes (one obs per kf per cam)
+
+
+@dataclass(frozen=True)
+class RobustLossConfig:
+    """Cauchy loss scales (``launch/keyframe_ba_monolid.launch:45,48``)."""
+
+    depth_thres: float = 0.16         # robust_loss_depth_thres
+    reprojection_thres: float = 1.6   # robust_loss_reprojection_thres
+    depth_quantile: float = 0.95      # outlier_rejection_quantile
+    reprojection_quantile: float = 0.95
+    gp_quantile: float = 1.0          # gp family never trimmed (solve():757)
+    num_trim_iterations: int = 1      # outer trim rounds (rosif: 1)
+    min_residual_groups: int = 30     # skip trimming below this many landmarks
+    trim_iteration_lm_steps: int = 2  # LM iterations per trim round (solve():745)
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    """LM solver settings mirroring robust_optimization::Options
+    (``robust_solving.hpp:76-108``) re-expressed for the on-device solver."""
+
+    max_iterations: int = 100
+    refinement_iterations: int = 20   # final refinement pass budget
+    initial_lambda: float = 1e-4      # ~ 1/initial_trust_region_radius (1e4)
+    lambda_up: float = 4.0
+    lambda_down: float = 0.5
+    min_lambda: float = 1e-10
+    max_lambda: float = 1e8
+    function_tolerance: float = 1e-6  # ceres default
+    reset_trust_region_each_round: bool = True  # trust_region_relaxation_factor=-10
+    diverged_retry_factor: int = 3    # retry with 3x iterations on divergence
+
+
+@dataclass(frozen=True)
+class KeyframeSelectionConfig:
+    """Keyframe scheme params (``launch/keyframe_ba_monolid.launch:40-44``)."""
+
+    min_median_flow: float = 5.0               # px; reject frame below (standstill)
+    critical_quaternion_difference: float = 0.03  # rad; force-keep on curves
+    time_between_keyframes_sec: float = 0.4
+
+
+@dataclass(frozen=True)
+class LandmarkSelectionConfig:
+    """Landmark scheme params (``mono_lidar.cpp:379-485``, launch values)."""
+
+    max_number_landmarks_near_bin: int = 200
+    max_number_landmarks_middle_bin: int = 200
+    max_number_landmarks_far_bin: int = 100
+    # voxel scheme (``landmark_selection_scheme_voxel.hpp:25-37``)
+    voxel_size_xyz: Tuple[float, float, float] = (0.5, 0.5, 0.3)
+    roi_far_xyz: Tuple[float, float, float] = (40.0, 40.0, 40.0)
+    roi_middle_xyz: Tuple[float, float, float] = (15.0, 15.0, 15.0)
+    z_range: Tuple[float, float] = (-20.0, 100.0)  # passthrough band
+    # AddDepth guarantee: >=50 gp landmarks per window frame (mono_lidar.cpp:424)
+    min_number_landmarks_gp: int = 50
+    # plausibility box (scheme exists; off by default as in reference)
+    use_dimension_plausibility: bool = False
+    height_over_ground: float = 0.31  # groundplane prior height (launch:58)
+
+
+@dataclass(frozen=True)
+class WindowConfig:
+    """Windowing (``bundle_adjuster_keyframes.cpp:907-987`` semantics)."""
+
+    min_num_connecting_landmarks: int = 18   # launch:54 (rosif default 30)
+    min_size_optimization_window: int = 3
+    max_size_optimization_window: int = 20
+    time_between_solves_sec: float = 0.4     # throttle: solve every ~kf period
+
+
+@dataclass(frozen=True)
+class RegularizationConfig:
+    """Weights hard-coded in the reference solve path."""
+
+    scale_reg_weight_unobserved: float = 1000.0   # solve():712-716
+    scale_reg_weight_observed_base: float = 1000.0  # / (n_depth + n_gp)
+    gp_reg_weight: float = 10.0                   # addGroundplaneRegularization
+    gp_height_weight: float = 10.0                # addGroundPlaneResiduals
+    gp_height_huber_delta: float = 0.1
+    gp_max_distance: float = 25.0                 # linear falloff range
+    speed_reg_rotation_gate: float = 0.03         # adjustPoseOnly:835-853
+    shrubbery_weight: float = 0.9                 # vegetation downweight
+
+
+@dataclass(frozen=True)
+class PriorConfig:
+    """Motion prior (5-point essential) settings
+    (``general_helpers.hpp:103-140,209-231``)."""
+
+    default_speed: float = 13.0      # m/s mono fallback scale guess
+    ransac_prob: float = 0.999
+    ransac_thres_px: float = 1.0
+    min_flow_px: float = 3.0         # below: assume standstill, identity motion
+    num_hypotheses: int = 256        # batched RANSAC hypothesis count
+
+
+@dataclass(frozen=True)
+class LimoConfig:
+    capacity: CapacityConfig = field(default_factory=CapacityConfig)
+    robust: RobustLossConfig = field(default_factory=RobustLossConfig)
+    solver: SolverConfig = field(default_factory=SolverConfig)
+    keyframe_selection: KeyframeSelectionConfig = field(default_factory=KeyframeSelectionConfig)
+    landmark_selection: LandmarkSelectionConfig = field(default_factory=LandmarkSelectionConfig)
+    window: WindowConfig = field(default_factory=WindowConfig)
+    regularization: RegularizationConfig = field(default_factory=RegularizationConfig)
+    prior: PriorConfig = field(default_factory=PriorConfig)
+    # solver time caps are CPU-scheduling artifacts in the reference; on TPU we
+    # run fixed iteration budgets instead (compiled, deterministic).
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+def default_config() -> LimoConfig:
+    return LimoConfig()
+
+
+def kitti_config() -> LimoConfig:
+    """Values from ``launch/keyframe_ba_monolid.launch`` (production KITTI)."""
+    cfg = LimoConfig(
+        window=WindowConfig(
+            min_num_connecting_landmarks=18,
+            max_size_optimization_window=12,
+            time_between_solves_sec=0.4,
+        ),
+    )
+    return cfg

@@ -1,0 +1,90 @@
+"""Groundplane estimation from lidar points — batched RANSAC.
+
+Reference contract (``res/mono_lidar_fusion_parameters.yaml``: the
+``ransac_plane`` block of the external mono_lidar_depth package): estimate the
+road plane from lidar points with z ∈ [−3.5, −1.0] m (vehicle frame), inlier
+threshold 0.2 m, 600 iterations, refinement on inliers; used both to give
+road features a depth and to anchor the groundplane scale constraint.
+
+TPU re-design: fixed 600-hypothesis batch — 3-point plane solves via cross
+products, inlier counting as one [H,N] comparison, least-squares refinement on
+the winner via a 3×3 covariance eigendecomposition. All shapes static.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class PlaneResult(NamedTuple):
+    normal: jnp.ndarray     # [3] unit, oriented to +z (up in vehicle frame)
+    distance: jnp.ndarray   # plane is n·p + d = 0
+    inliers: jnp.ndarray    # [N] bool
+    ok: jnp.ndarray         # bool
+
+
+def _hash2(i, j):
+    x = (i * jnp.uint32(0x9E3779B9)) ^ (j * jnp.uint32(0x85EBCA6B))
+    x = (x ^ (x >> 16)) * jnp.uint32(0x7FEB352D)
+    x = (x ^ (x >> 15)) * jnp.uint32(0x846CA68B)
+    return x ^ (x >> 16)
+
+
+def fit_plane_lsq(points, w):
+    """Weighted total-least-squares plane through points: smallest-eigenvector
+    normal of the weighted covariance."""
+    wsum = jnp.maximum(jnp.sum(w), 1e-9)
+    c = jnp.sum(points * w[:, None], 0) / wsum
+    d = (points - c) * w[:, None]
+    cov = d.T @ d / wsum
+    evals, evecs = jnp.linalg.eigh(cov)
+    n = evecs[:, 0]
+    n = n * jnp.sign(n[2] + 1e-12)          # orient up
+    dist = -jnp.dot(n, c)
+    return n, dist
+
+
+def estimate_groundplane(points, valid,
+                         z_band=(-3.5, -1.0),
+                         inlier_thres: float = 0.2,
+                         num_hypotheses: int = 600,
+                         min_inliers: int = 50,
+                         seed: int = 0) -> PlaneResult:
+    """RANSAC plane fit on candidate ground points (vehicle frame).
+
+    points [N,3], valid [N]. Returns plane with n·p + d = 0.
+    """
+    dtype = points.dtype
+    N = points.shape[0]
+    cand = valid & (points[:, 2] >= z_band[0]) & (points[:, 2] <= z_band[1])
+
+    valid_idx = jnp.argsort(~cand)
+    n_valid = jnp.maximum(jnp.sum(cand).astype(jnp.uint32), 1)
+    hyp = jnp.arange(num_hypotheses, dtype=jnp.uint32)
+    pick = jnp.arange(3, dtype=jnp.uint32)
+    r = _hash2(hyp[:, None] + jnp.uint32(seed * 31337), pick[None, :])
+    sample = valid_idx[(r % n_valid).astype(jnp.int32)]          # [H,3]
+    p = points[sample]                                           # [H,3,3]
+
+    n = jnp.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0])          # [H,3]
+    nn = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    degenerate = nn[:, 0] < 1e-9
+    n = n / jnp.maximum(nn, 1e-12)
+    d = -jnp.sum(n * p[:, 0], -1)                                # [H]
+
+    dist = jnp.abs(points @ n.T + d[None, :])                    # [N,H]
+    inl = (dist < inlier_thres) & cand[:, None]
+    counts = jnp.sum(inl, 0) * (~degenerate)
+    best = jnp.argmax(counts)
+
+    # refinement on the winning inlier set (reference: refinement enabled)
+    w = inl[:, best].astype(dtype)
+    n_ref, d_ref = fit_plane_lsq(points, w)
+    dist_ref = jnp.abs(points @ n_ref + d_ref)
+    inliers = (dist_ref < inlier_thres) & cand
+    n_in = jnp.sum(inliers.astype(jnp.int32))
+    ok = n_in >= min_inliers
+    return PlaneResult(normal=n_ref, distance=d_ref, inliers=inliers, ok=ok)

@@ -1,0 +1,106 @@
+"""Multi-chip sharding of the windowed BA engine.
+
+The reference is single-process (SURVEY §2.13: 3 Ceres threads, no
+distributed execution). The TPU-native scaling model replaces it:
+
+- **data axis**: many sequences / windows batched and sharded across hosts
+  (the reference's serial per-sequence eval loop becomes one sharded batch).
+- **model axis**: the landmark dimension of each window. Everything in the
+  normal-equation assembly reduces over L (V blocks, W·V⁻¹·Wᵀ Schur
+  correction, trim scores), so landmark-sharded execution needs exactly one
+  ``psum`` of the [P,P] Schur system per LM iteration — that reduction rides
+  ICI. The reduced pose system (P ≈ 200) is replicated, like Ceres'
+  dense-solve after Schur elimination.
+
+Implementation: GSPMD via ``jit`` + ``NamedSharding`` input constraints —
+XLA inserts the collectives. Explicit shard_map/pallas ring variants are the
+round-2 optimization path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..solver import solve_trimmed
+from ..state import Selection, Window
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(n_devices: Optional[int] = None, data: Optional[int] = None
+              ) -> Mesh:
+    """Mesh over (data, model). With no hints: put at most 2 on data and the
+    rest on model (landmark sharding is the primary within-window axis)."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    devs = devs[:n]
+    if data is None:
+        data = 2 if n % 2 == 0 and n >= 4 else 1
+    model = n // data
+    arr = np.array(devs[: data * model]).reshape(data, model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def window_shardings(mesh: Mesh, batched: bool) -> Window:
+    """NamedShardings for a (batched) Window: landmark-major arrays shard
+    over MODEL_AXIS, keyframe arrays replicate, batch dim over DATA_AXIS."""
+    b = (DATA_AXIS,) if batched else ()
+
+    def s(*spec):
+        return NamedSharding(mesh, P(*b, *spec))
+
+    return Window(
+        stamps=s(None), poses=s(None, None), kf_valid=s(None),
+        fix_pose=s(None), fix_scale=s(None), planes=s(None, None),
+        plane_valid=s(None),
+        lm_pos=s(MODEL_AXIS, None), lm_valid=s(MODEL_AXIS),
+        lm_weight=s(MODEL_AXIS), lm_has_depth=s(MODEL_AXIS),
+        lm_is_gp=s(MODEL_AXIS), lm_id=s(MODEL_AXIS),
+        obs=s(MODEL_AXIS, None, None, None), obs_mask=s(MODEL_AXIS, None, None),
+    )
+
+
+def selection_shardings(mesh: Mesh, batched: bool) -> Selection:
+    b = (DATA_AXIS,) if batched else ()
+
+    def s(*spec):
+        return NamedSharding(mesh, P(*b, *spec))
+
+    return Selection(
+        lm_selected=s(MODEL_AXIS), gp_kf=s(MODEL_AXIS), gp_weight=s(MODEL_AXIS),
+        scale_kf0=s(), scale_kf1=s(), scale_target=s(), scale_weight=s(),
+        plane_dist_fixed=s(),
+    )
+
+
+def make_sharded_solver(mesh: Mesh, rig, cfg, batched: bool = True):
+    """jit-compiled trimmed solve with landmark/model + window/data sharding.
+
+    batched=True expects a leading batch axis on every Window/Selection leaf
+    (one window per sequence) and maps solve_trimmed over it.
+    """
+    w_sh = window_shardings(mesh, batched)
+    s_sh = selection_shardings(mesh, batched)
+
+    if batched:
+        def fn(windows, sels):
+            return jax.vmap(lambda w, s: solve_trimmed(w, s, rig, cfg))(windows, sels)
+    else:
+        def fn(window, sel):
+            return solve_trimmed(window, sel, rig, cfg)
+
+    return jax.jit(fn, in_shardings=(w_sh, s_sh))
+
+
+def device_put_window(window: Window, mesh: Mesh, batched: bool = False) -> Window:
+    return jax.device_put(window, window_shardings(mesh, batched))
+
+
+def device_put_selection(sel: Selection, mesh: Mesh, batched: bool = False) -> Selection:
+    return jax.device_put(sel, selection_shardings(mesh, batched))

@@ -1,0 +1,208 @@
+"""Online odometry drivers — the TPU equivalents of the reference ROS nodes.
+
+``MonoOdometry`` mirrors ``MonoStandalone`` (mono_standalone.cpp:78-273):
+tracklets in → 5-point-equivalent motion prior → motion-only adjustment →
+keyframe selection → push → throttled windowed solve → trajectory out.
+``LidarOdometry`` mirrors ``MonoLidar`` (mono_lidar.cpp:88-373): same skeleton
+with lidar depths on the tracklets and the groundplane scale machinery.
+
+The host loop only shuffles small arrays and decides keyframing; all numeric
+work (prior, pose-only solve, selection, windowed BA) runs as jitted device
+programs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import LimoConfig
+from ..frontend.essential import estimate_essential, motion_prior_unscaled
+from ..geometry import pose as pose_ops
+from ..geometry import quaternion as quat
+from ..selection import select_keyframe
+from ..window_manager import FIX_NONE, FIX_POSE, FIX_SCALE, BundleAdjuster
+from .tracklets import Tracklets
+
+
+@dataclass
+class FrameResult:
+    stamp: float
+    pose: np.ndarray              # keyframe←origin (7)
+    is_keyframe: bool
+    solved: bool
+
+
+class MonoOdometry:
+    """Monocular odometry: scale from the prior/scale-regularization only
+    (groundplane variant in LidarOdometry)."""
+
+    def __init__(self, rig, cfg: Optional[LimoConfig] = None, dtype=jnp.float32):
+        self.cfg = cfg or LimoConfig()
+        self.rig = rig
+        self.dtype = dtype
+        self.adjuster = BundleAdjuster(rig, self.cfg, dtype)
+        self.trajectory: List[FrameResult] = []
+        self._last_solve_stamp: Optional[float] = None
+        self._last_frame_stamp: Optional[float] = None
+        self._essential_fn = None
+
+    # ------------------------------------------------------------------
+
+    def _matches(self, tracklets: Tracklets, stamp_a: float, stamp_b: float):
+        """Matched (uv_a, uv_b, mask) between two stamps, excluding outlier
+        labels (``getMatches``, general_helpers.hpp:44-76)."""
+        ia = tracklets.stamp_index(stamp_a)
+        ib = tracklets.stamp_index(stamp_b)
+        if ia is None or ib is None:
+            return None
+        m = tracklets.mask[:, ia] & tracklets.mask[:, ib] & ~tracklets.is_outlier
+        return tracklets.uvd[:, ia, :2], tracklets.uvd[:, ib, :2], m
+
+    def _speed_estimate(self) -> float:
+        """Speed from the last two keyframes (mono prior default 13 m/s,
+        general_helpers.hpp:215 / mono_lidar.cpp:168-185)."""
+        kfs = self.adjuster.keyframe_poses()
+        if len(kfs) < 2:
+            return self.cfg.prior.default_speed
+        (t0, p0), (t1, p1) = kfs[-2], kfs[-1]
+        if t1 <= t0:
+            return self.cfg.prior.default_speed
+        d = np.asarray(pose_ops.relative(jnp.asarray(p1), jnp.asarray(p0)))
+        return float(np.linalg.norm(d[4:]) / (t1 - t0))
+
+    def _motion_prior(self, tracklets: Tracklets, stamp: float) -> np.ndarray:
+        """5-point-equivalent prior: essential matrix between the current
+        frame and the last keyframe, translation scaled by speed·Δt."""
+        kfs = self.adjuster.keyframe_poses()
+        last_stamp, last_pose = kfs[-1]
+        m = self._matches(tracklets, stamp, last_stamp)
+        if m is None or int(m[2].sum()) < 8:
+            return last_pose  # no matches: assume no motion
+        uv_new, uv_old, mask = m
+        if self._essential_fn is None:
+            pc = self.cfg.prior
+
+            @jax.jit
+            def _ess(uv0, uv1, mask, f, pp):
+                return estimate_essential(uv0, uv1, mask, f, pp,
+                                          num_hypotheses=pc.num_hypotheses,
+                                          thres_px=pc.ransac_thres_px,
+                                          min_flow_px=pc.min_flow_px)
+
+            self._essential_fn = _ess
+        f = jnp.asarray(float(self.rig.focal[0]), self.dtype)
+        pp = jnp.asarray(np.asarray(self.rig.principal[0]), self.dtype)
+        # pad to fixed shape for stable jit cache
+        N = self.cfg.capacity.max_landmarks
+        n = uv_new.shape[0]
+        if n < N:
+            pad = ((0, N - n), (0, 0))
+            uv_new = np.pad(uv_new, pad)
+            uv_old = np.pad(uv_old, pad)
+            mask = np.pad(mask, (0, N - n))
+        else:
+            uv_new, uv_old, mask = uv_new[:N], uv_old[:N], mask[:N]
+        res = self._essential_fn(jnp.asarray(uv_old, self.dtype),
+                                 jnp.asarray(uv_new, self.dtype),
+                                 jnp.asarray(mask), f, pp)
+        dt = max(stamp - last_stamp, 1e-3)
+        delta = motion_prior_unscaled(res, self.rig.T_cam_veh[0].astype(self.dtype),
+                                      self._speed_estimate(), dt)
+        # prior pose: T_cur_origin = T_cur_prev ∘ T_prev_origin
+        return np.asarray(pose_ops.compose(delta, jnp.asarray(last_pose, self.dtype)),
+                          np.float64)
+
+    # ------------------------------------------------------------------
+
+    def process_frame(self, stamp: float, tracklets: Tracklets,
+                      pose_prior: Optional[np.ndarray] = None) -> FrameResult:
+        """One frame through the full §3.1/§3.3 call stack."""
+        cfg = self.cfg
+        # first frame: fixed identity keyframe (mono_lidar.cpp:301-325)
+        if self.adjuster.num_keyframes == 0:
+            pose0 = np.array([1.0, 0, 0, 0, 0, 0, 0])
+            self.adjuster.push(stamp, tracklets, pose0, FIX_POSE)
+            self._last_solve_stamp = stamp
+            self._last_frame_stamp = stamp
+            r = FrameResult(stamp, pose0, True, False)
+            self.trajectory.append(r)
+            return r
+
+        # ---- pose prior + motion-only scale correction -----------------
+        if pose_prior is None:
+            pose_prior = self._motion_prior(tracklets, stamp)
+        pose_adj = self.adjuster.adjust_pose_only(stamp, pose_prior, tracklets)
+
+        # ---- keyframe selection ----------------------------------------
+        kfs = self.adjuster.keyframe_poses()
+        last_stamp, last_pose = kfs[-1]
+        m = self._matches(tracklets, stamp, last_stamp)
+        if m is not None:
+            uv_new, uv_old, mmask = m
+        else:
+            uv_new = uv_old = np.zeros((1, 2))
+            mmask = np.zeros((1,), bool)
+        decision = select_keyframe(
+            jnp.asarray(uv_new, self.dtype), jnp.asarray(uv_old, self.dtype),
+            jnp.asarray(mmask),
+            jnp.asarray(pose_adj[:4], self.dtype),
+            jnp.asarray(last_pose[:4], self.dtype),
+            jnp.asarray(stamp, self.dtype), jnp.asarray(last_stamp, self.dtype),
+            cfg)
+        is_kf = bool(decision.is_keyframe)
+
+        solved = False
+        if is_kf:
+            fixation = FIX_SCALE if self.adjuster.num_keyframes == 1 else FIX_NONE
+            self.adjuster.push(stamp, tracklets, pose_adj, fixation)
+            # throttled solve (mono_lidar.cpp:243-262)
+            if (self.adjuster.num_keyframes >= 3
+                    and stamp - self._last_solve_stamp
+                    >= 0.98 * cfg.window.time_between_solves_sec):
+                self.adjuster.deactivate_keyframes()
+                self.adjuster.update_labels(
+                    tracklets, cfg.regularization.shrubbery_weight)
+                self.adjuster.solve()
+                self._last_solve_stamp = stamp
+                solved = True
+                pose_adj = self.adjuster.keyframe_poses()[-1][1]
+
+        self._last_frame_stamp = stamp
+        r = FrameResult(stamp, np.asarray(pose_adj, np.float64), is_kf, solved)
+        self.trajectory.append(r)
+        return r
+
+    # ------------------------------------------------------------------
+
+    def poses_kitti(self) -> np.ndarray:
+        """Per-frame KITTI 4×4 matrices (origin←frame), dump-format
+        equivalent of mono_lidar.cpp:275-300."""
+        arr = np.stack([f.pose for f in self.trajectory])
+        return np.asarray(pose_ops.to_matrix(pose_ops.inverse(jnp.asarray(arr))))
+
+
+class LidarOdometry(MonoOdometry):
+    """Limo/Limo2: tracklets carry lidar depth; groundplane landmarks anchor
+    scale. Same skeleton as MonoOdometry — the depth residuals and gp wiring
+    activate automatically inside BundleAdjuster when observations carry
+    d ≥ 0 and labels mark ground points."""
+
+    def process_frame(self, stamp: float, tracklets: Tracklets,
+                      pose_prior: Optional[np.ndarray] = None,
+                      ground_ids: Optional[np.ndarray] = None) -> FrameResult:
+        if ground_ids is not None and ground_ids.size:
+            gl = set(int(i) for i in ground_ids)
+            lab = tracklets.label.copy()
+            for r, tid in enumerate(tracklets.ids):
+                if int(tid) in gl:
+                    lab[r] = 7  # cityscapes "road"
+            tracklets = Tracklets(
+                stamps=tracklets.stamps, uvd=tracklets.uvd, mask=tracklets.mask,
+                ids=tracklets.ids, age=tracklets.age,
+                is_outlier=tracklets.is_outlier, label=lab)
+        return super().process_frame(stamp, tracklets, pose_prior)

@@ -1,0 +1,172 @@
+"""Trimmed least squares — the TPU re-implementation of
+``robust_optimization::solveTrimmed`` (robust_solving.cpp:140-248).
+
+Algorithm (reference semantics, SURVEY §2.2):
+  for each outer round:
+    1. run LM for a small budget (2 iters); if cost did not decrease,
+       extend the round to 3× the budget (robust_solving.cpp:167-181)
+    2. evaluate raw loss-free residuals grouped per landmark; score =
+       max block norm within the group (robust_solving.cpp:67-91)
+    3. per family (depth / reprojection / gp) trim by quantile, skipping
+       families with < min_residual_groups valid groups
+    4. union outlier groups over families; remove ALL residuals of those
+       landmarks (here: clear the selection mask — weights, not shapes)
+    5. the trust region resets each round (trust_region_relaxation_factor=-10)
+  finally: one refinement run with the full iteration budget.
+
+Compile-time design: ONE ``lax.while_loop`` whose body is a single LM
+iteration; round boundaries, the divergence-retry extension, trimming, and
+the final refinement phase are all traced state transitions inside the loop.
+The compiled program contains exactly one normal-equation assembly graph —
+this matters under remote-compile TPU backends where program size dominates
+compile latency.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..robust import trim_quantile
+from ..state import Selection, Window
+from .ba_core import assemble, compute_cost, residual_stats
+from .lm import apply_step, solve_normal_equations
+
+
+class SolveInfo(NamedTuple):
+    initial_cost: jnp.ndarray
+    final_cost: jnp.ndarray
+    n_trimmed: jnp.ndarray
+    n_accepted: jnp.ndarray
+
+
+class _TrimState(NamedTuple):
+    window: Window
+    lm_selected: jnp.ndarray
+    lam: jnp.ndarray
+    cost: jnp.ndarray
+    round_start_cost: jnp.ndarray
+    it_in_round: jnp.ndarray   # LM iterations taken in the current round
+    round_idx: jnp.ndarray     # 0..num_rounds-1 trim rounds, num_rounds = refinement
+    extended: jnp.ndarray      # divergence-retry extension active
+    n_trimmed: jnp.ndarray
+    n_accepted: jnp.ndarray
+    done: jnp.ndarray
+
+
+def solve_trimmed(window: Window, sel: Selection, rig, cfg,
+                  compensate_rotation: bool = False):
+    """Full trimmed solve. Returns (window, selection, SolveInfo).
+
+    The returned selection has trimmed landmarks removed (mask cleared) —
+    mirroring the reference's permanent RemoveResidualBlock surgery.
+    """
+    rcfg = cfg.robust
+    scfg = cfg.solver
+    dtype = window.poses.dtype
+
+    num_rounds = rcfg.num_trim_iterations
+    budget = rcfg.trim_iteration_lm_steps
+    budget_ext = scfg.diverged_retry_factor * budget
+    refine_iters = scfg.refinement_iterations
+
+    def sel_with(mask):
+        return sel._replace(lm_selected=mask)
+
+    def get_cost(w, mask):
+        return compute_cost(w, sel_with(mask), rig, cfg,
+                            compensate_rotation=compensate_rotation)
+
+    initial_cost = get_cost(window, sel.lm_selected)
+    # trimming only engages with >100 selected landmarks (solve():741-746)
+    n_selected = jnp.sum((window.lm_valid & sel.lm_selected).astype(jnp.int32))
+    trim_active = n_selected > 100
+
+    def trim(st: _TrimState) -> _TrimState:
+        stats = residual_stats(st.window, sel_with(st.lm_selected), rig, cfg,
+                               compensate_rotation=compensate_rotation)
+        out_repr = (trim_quantile(stats.repr_score, stats.repr_valid,
+                                  rcfg.reprojection_quantile)
+                    & (jnp.sum(stats.repr_valid) >= rcfg.min_residual_groups))
+        out_depth = (trim_quantile(stats.depth_score, stats.depth_valid,
+                                   rcfg.depth_quantile)
+                     & (jnp.sum(stats.depth_valid) >= rcfg.min_residual_groups))
+        out_gp = (trim_quantile(stats.gp_score, stats.gp_valid, rcfg.gp_quantile)
+                  & (jnp.sum(stats.gp_valid) >= rcfg.min_residual_groups))
+        outliers = (out_repr | out_depth | out_gp) & trim_active
+        mask = st.lm_selected & (~outliers)
+        return st._replace(
+            lm_selected=mask,
+            n_trimmed=(st.n_trimmed
+                       + jnp.sum(outliers.astype(jnp.int32))).astype(jnp.int32),
+            cost=get_cost(st.window, mask),
+        )
+
+    def body(st: _TrimState) -> _TrimState:
+        # ---- one LM iteration ------------------------------------------
+        eqs, _ = assemble(st.window, sel_with(st.lm_selected), rig, cfg,
+                          compensate_rotation=compensate_rotation)
+        delta_p, delta_l = solve_normal_equations(eqs, st.lam)
+        cand = apply_step(st.window, delta_p, delta_l)
+        new_cost = get_cost(cand, st.lm_selected)
+        accept = jnp.isfinite(new_cost) & (new_cost < st.cost)
+        window = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(accept, b, a), st.window, cand)
+        lam = jnp.where(accept,
+                        jnp.maximum(st.lam * scfg.lambda_down, scfg.min_lambda),
+                        jnp.minimum(st.lam * scfg.lambda_up, scfg.max_lambda))
+        cost = jnp.where(accept, new_cost, st.cost)
+        st = st._replace(window=window, lam=lam, cost=cost,
+                         it_in_round=st.it_in_round + 1,
+                         n_accepted=st.n_accepted + accept.astype(jnp.int32))
+
+        # ---- round bookkeeping -----------------------------------------
+        in_refinement = st.round_idx >= num_rounds
+        round_budget = jnp.where(in_refinement, refine_iters,
+                                 jnp.where(st.extended, budget_ext, budget))
+        at_budget = st.it_in_round >= round_budget
+        decreased = st.cost < st.round_start_cost
+        # divergence retry: trim rounds only (robust_solving.cpp:172-181)
+        extend = at_budget & (~in_refinement) & (~st.extended) & (~decreased)
+        round_over = at_budget & (~extend)
+
+        # refinement ends at budget or when the step is hopeless
+        refinement_done = in_refinement & (
+            round_over | (st.lam >= scfg.max_lambda))
+
+        def end_round(s):
+            s = trim(s)
+            return s._replace(
+                round_idx=s.round_idx + 1,
+                it_in_round=jnp.zeros_like(s.it_in_round),
+                extended=jnp.zeros_like(s.extended),
+                lam=jnp.asarray(scfg.initial_lambda, dtype),  # TR reset/round
+                round_start_cost=s.cost)
+
+        st = st._replace(extended=st.extended | extend)
+        st = jax.lax.cond(round_over & (~in_refinement), end_round,
+                          lambda s: s, st)
+        return st._replace(done=refinement_done)
+
+    def cond(st: _TrimState):
+        return (~st.done) & (st.round_idx <= num_rounds)
+
+    st0 = _TrimState(
+        window=window,
+        lm_selected=sel.lm_selected,
+        lam=jnp.asarray(scfg.initial_lambda, dtype),
+        cost=initial_cost,
+        round_start_cost=initial_cost,
+        it_in_round=jnp.asarray(0, jnp.int32),
+        round_idx=jnp.asarray(0, jnp.int32),
+        extended=jnp.asarray(False),
+        n_trimmed=jnp.asarray(0, jnp.int32),
+        n_accepted=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(False),
+    )
+    out = jax.lax.while_loop(cond, body, st0)
+    info = SolveInfo(initial_cost=initial_cost, final_cost=out.cost,
+                     n_trimmed=out.n_trimmed, n_accepted=out.n_accepted)
+    return out.window, sel_with(out.lm_selected), info

@@ -1,0 +1,518 @@
+"""BundleAdjuster — the optimization-graph manager (host orchestration).
+
+The TPU re-design of ``BundleAdjusterKeyframes``
+(``bundle_adjuster_keyframes.{hpp,cpp}``): the reference keeps maps of
+heap-allocated keyframes/landmarks and rebuilds a ceres::Problem per solve;
+here a host-side slot allocator maintains numpy mirrors of the fixed-shape
+``Window`` pytree and every numeric step (triangulation, selection, BA) runs
+as jitted device code on the full arrays.
+
+API mirrors the reference (push / solve / adjust_pose_only /
+deactivate_keyframes / update_labels — ``bundle_adjuster_keyframes.hpp:40-335``)
+so the embedding contract of the core README carries over.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import LimoConfig
+from .geometry import pose as pose_np
+from .pipeline.tracklets import Tracklets
+from .selection import add_depth_scheme, cheirality_mask, voxel_scheme
+from .solver import pose_only_step, run_lm, solve_trimmed
+from .state import Selection, Window, empty_window
+
+# fixation codes (reference Keyframe::FixationStatus, keyframe.hpp:29)
+FIX_NONE, FIX_POSE, FIX_SCALE = 0, 1, 2
+
+# cityscapes label sets preloaded by the reference
+# (bundle_adjuster_keyframes.hpp:226-255, res/outlier_labels.yaml)
+DEFAULT_OUTLIER_LABELS = frozenset(
+    [0, 1, 2, 3, 5, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, -1])
+DEFAULT_SHRUBBERY_LABELS = frozenset([21, 22, 23])
+DEFAULT_GROUND_LABELS = frozenset([6, 7, 8, 9])
+
+
+class NotEnoughKeyframesException(Exception):
+    """Reference: bundle_adjuster_keyframes.hpp:59-68 — solve needs >=3."""
+
+
+class KeyframeNotFoundException(Exception):
+    """Reference: bundle_adjuster_keyframes.hpp:69-77."""
+
+
+def _np_pose_inv(p):
+    return np.asarray(pose_np.inverse(jnp.asarray(p)))
+
+
+def _np_pose_apply(p, x):
+    return np.asarray(pose_np.apply(jnp.asarray(p), jnp.asarray(x)))
+
+
+def _triangulate_np(rays, centers):
+    """Host midpoint triangulation (triangulator.hpp:51-75 math, numpy)."""
+    eye = np.eye(3)
+    P = eye[None] - rays[:, :, None] * rays[:, None, :]
+    A = P.sum(0)
+    b = np.einsum("nij,nj->i", P, centers)
+    det = np.linalg.det(A)
+    if abs(det) < 1e-9:
+        return None
+    return np.linalg.solve(A, b)
+
+
+class BundleAdjuster:
+    """Sliding-window keyframe bundle adjuster with landmark/keyframe
+    scheduling — the ``BundleAdjusterKeyframes`` equivalent."""
+
+    def __init__(self, rig, cfg: Optional[LimoConfig] = None, dtype=jnp.float32,
+                 outlier_labels=DEFAULT_OUTLIER_LABELS,
+                 shrubbery_labels=DEFAULT_SHRUBBERY_LABELS,
+                 ground_labels=DEFAULT_GROUND_LABELS):
+        self.cfg = cfg or LimoConfig()
+        self.rig = rig
+        self.dtype = dtype
+        cap = self.cfg.capacity
+        self.K, self.L, self.C = cap.max_keyframes, cap.max_landmarks, cap.max_cameras
+
+        # host mirrors of the Window arrays
+        w = empty_window(cap, dtype)
+        self._stamps = np.zeros(self.K)
+        self._poses = np.array(w.poses, np.float64)
+        self._kf_valid = np.zeros(self.K, bool)
+        self._fixation = np.zeros(self.K, np.int32)
+        self._planes = np.array(w.planes, np.float64)
+        self._plane_valid = np.zeros(self.K, bool)
+        self._lm_pos = np.zeros((self.L, 3))
+        self._lm_valid = np.zeros(self.L, bool)
+        self._lm_weight = np.ones(self.L)
+        self._lm_has_depth = np.zeros(self.L, bool)
+        self._lm_is_gp = np.zeros(self.L, bool)
+        self._lm_id = np.full(self.L, -1, np.int64)
+        self._lm_outlier = np.zeros(self.L, bool)  # label/flag-based rejects
+        self._obs = np.zeros((self.L, self.K, self.C, 3))
+        self._obs[..., 2] = -1.0
+        self._obs_mask = np.zeros((self.L, self.K, self.C), bool)
+
+        self._kf_order: List[int] = []       # active+inactive slots, oldest→newest
+        self._lm_slot: Dict[int, int] = {}   # global landmark id → slot
+        self._archive: Dict[float, np.ndarray] = {}  # stamp → final pose (evicted)
+        self._last_selection: Optional[np.ndarray] = None  # [L] bool
+        self._last_categories: Optional[np.ndarray] = None
+        self._solve_fn = None
+        self._pose_only_fn = None
+
+    # ------------------------------------------------------------------
+    # keyframe/landmark bookkeeping
+    # ------------------------------------------------------------------
+
+    @property
+    def num_keyframes(self) -> int:
+        return len(self._kf_order)
+
+    def keyframe_poses(self) -> List[Tuple[float, np.ndarray]]:
+        """(stamp, pose keyframe←origin) for all active keyframes, time order."""
+        return [(self._stamps[s], self._poses[s].copy()) for s in self._kf_order]
+
+    def newest_slot(self) -> int:
+        if not self._kf_order:
+            raise KeyframeNotFoundException("no keyframes")
+        return self._kf_order[-1]
+
+    def _alloc_kf_slot(self) -> int:
+        for s in range(self.K):
+            if s not in self._kf_order:
+                return s
+        # evict the oldest (archive its pose)
+        old = self._kf_order.pop(0)
+        self._archive[self._stamps[old]] = self._poses[old].copy()
+        self._clear_kf_slot(old)
+        return old
+
+    def _clear_kf_slot(self, s: int):
+        self._kf_valid[s] = False
+        self._fixation[s] = FIX_NONE
+        self._plane_valid[s] = False
+        self._obs_mask[:, s, :] = False
+        self._obs[:, s, :, :2] = 0.0
+        self._obs[:, s, :, 2] = -1.0
+
+    def _alloc_lm_slot(self, lm_id: int) -> Optional[int]:
+        free = np.flatnonzero(~self._lm_valid)
+        if free.size == 0:
+            return None
+        s = int(free[0])
+        self._lm_slot[lm_id] = s
+        self._lm_valid[s] = True
+        self._lm_id[s] = lm_id
+        self._lm_weight[s] = 1.0
+        self._lm_has_depth[s] = False
+        self._lm_is_gp[s] = False
+        self._lm_outlier[s] = False
+        return s
+
+    def _free_lm_slot(self, slot: int):
+        lm_id = self._lm_id[slot]
+        self._lm_valid[slot] = False
+        self._lm_id[slot] = -1
+        self._obs_mask[slot, :, :] = False
+        self._lm_slot.pop(int(lm_id), None)
+
+    # ------------------------------------------------------------------
+    # push — reference bundle_adjuster_keyframes.cpp:289-329
+    # ------------------------------------------------------------------
+
+    def push(self, stamp: float, tracklets: Tracklets, pose: np.ndarray,
+             fixation: int = FIX_NONE, plane: Optional[np.ndarray] = None):
+        """Add a keyframe: store pose, assign measurements from tracklets at
+        ``stamp``, initialize unknown landmarks by depth-backprojection or
+        midpoint triangulation."""
+        s = self._alloc_kf_slot()
+        self._kf_order.append(s)
+        self._stamps[s] = stamp
+        self._poses[s] = np.asarray(pose, np.float64)
+        self._kf_valid[s] = True
+        self._fixation[s] = fixation
+        if plane is not None:
+            self._planes[s] = np.asarray(plane, np.float64)
+            self._plane_valid[s] = True
+        else:
+            hog = self.cfg.landmark_selection.height_over_ground
+            self._planes[s] = np.array([0.0, 0.0, 1.0, hog])
+            self._plane_valid[s] = True
+
+        ids, uvd, _ = tracklets.measurements_at(stamp)
+        f = np.asarray(self.rig.focal)
+        pp = np.asarray(self.rig.principal)
+        tcv = np.asarray(self.rig.T_cam_veh, np.float64)
+        cam = 0  # single-camera ingest path (multi-cam via push_multicam)
+        new_ids = []
+        for tid, m in zip(ids, uvd):
+            slot = self._lm_slot.get(int(tid))
+            if slot is None:
+                slot = self._alloc_lm_slot(int(tid))
+                if slot is None:
+                    continue  # capacity full — skip (selector caps anyway)
+                new_ids.append((int(tid), slot))
+            self._obs[slot, s, cam] = m
+            self._obs_mask[slot, s, cam] = True
+
+        # initialize positions of landmarks new to the map
+        T_origin_cam = _np_pose_inv(np.asarray(
+            pose_np.compose(jnp.asarray(tcv[cam]), jnp.asarray(self._poses[s]))))
+        for tid, slot in new_ids:
+            u, v, d = self._obs[slot, s, cam]
+            if d >= 0:
+                # containsDepth path (:37-48): backproject at measured depth
+                p_cam = np.array([(u - pp[cam, 0]) / f[cam] * d,
+                                  (v - pp[cam, 1]) / f[cam] * d, d])
+                self._lm_pos[slot] = _np_pose_apply(T_origin_cam, p_cam)
+                self._lm_has_depth[slot] = True
+            else:
+                p = self._triangulate_from_window(slot)
+                if p is not None:
+                    self._lm_pos[slot] = p
+                else:
+                    # fall back: place along the ray at prior depth
+                    ray = np.array([(u - pp[cam, 0]) / f[cam],
+                                    (v - pp[cam, 1]) / f[cam], 1.0])
+                    ray /= np.linalg.norm(ray)
+                    self._lm_pos[slot] = _np_pose_apply(
+                        T_origin_cam, ray * self.cfg.prior.default_speed)
+        # any landmark with a depth measurement anywhere keeps the flag
+        if ids.size:
+            has_d = uvd[:, 2] >= 0
+            for tid, hd in zip(ids, has_d):
+                slot = self._lm_slot.get(int(tid))
+                if slot is not None and hd:
+                    self._lm_has_depth[slot] = True
+        return s
+
+    def _triangulate_from_window(self, slot: int) -> Optional[np.ndarray]:
+        """Midpoint triangulation from all active-keyframe observations
+        (getMeasurementsAndPoses :125-159 → triangulator)."""
+        f = np.asarray(self.rig.focal)
+        pp = np.asarray(self.rig.principal)
+        tcv = np.asarray(self.rig.T_cam_veh, np.float64)
+        rays, centers = [], []
+        for s in self._kf_order:
+            for c in range(self.C):
+                if not self._obs_mask[slot, s, c]:
+                    continue
+                u, v, _ = self._obs[slot, s, c]
+                T_cam_origin = np.asarray(pose_np.compose(
+                    jnp.asarray(tcv[c]), jnp.asarray(self._poses[s])))
+                T_origin_cam = _np_pose_inv(T_cam_origin)
+                ray_cam = np.array([(u - pp[c, 0]) / f[c], (v - pp[c, 1]) / f[c], 1.0])
+                ray_cam /= np.linalg.norm(ray_cam)
+                R = np.asarray(pose_np.to_matrix(jnp.asarray(T_origin_cam)))[:3, :3]
+                rays.append(R @ ray_cam)
+                centers.append(T_origin_cam[4:])
+        if len(rays) < 2:
+            return None
+        return _triangulate_np(np.stack(rays), np.stack(centers))
+
+    # ------------------------------------------------------------------
+    # updateLabels — reference :388-431
+    # ------------------------------------------------------------------
+
+    def update_labels(self, tracklets: Tracklets, shrubbery_weight: float = 0.9,
+                      outlier_labels=None, shrubbery_labels=None,
+                      ground_labels=None):
+        ol = outlier_labels or DEFAULT_OUTLIER_LABELS
+        sl = shrubbery_labels or DEFAULT_SHRUBBERY_LABELS
+        gl = ground_labels or DEFAULT_GROUND_LABELS
+        for tid, flag, lab in zip(tracklets.ids, tracklets.is_outlier, tracklets.label):
+            slot = self._lm_slot.get(int(tid))
+            if slot is None:
+                continue
+            if flag or int(lab) in ol:
+                self._lm_outlier[slot] = True
+            if int(lab) in sl:
+                self._lm_weight[slot] = shrubbery_weight
+            if int(lab) in gl:
+                self._lm_is_gp[slot] = True
+
+    # ------------------------------------------------------------------
+    # deactivateKeyframes — reference :907-987
+    # ------------------------------------------------------------------
+
+    def deactivate_keyframes(self, min_connecting: Optional[int] = None,
+                             min_window: Optional[int] = None,
+                             max_window: Optional[int] = None):
+        wc = self.cfg.window
+        min_connecting = min_connecting or wc.min_num_connecting_landmarks
+        min_window = min_window or wc.min_size_optimization_window
+        max_window = max_window or wc.max_size_optimization_window
+        n = len(self._kf_order)
+        if n == 0:
+            return
+        newest = self._kf_order[-1]
+        keep: List[int] = []
+        for i, s in enumerate(self._kf_order):
+            pos_from_new = n - 1 - i
+            if pos_from_new < min_window:
+                keep.append(s)
+            elif pos_from_new >= max_window:
+                pass  # always deactivated
+            else:
+                common = int(np.sum(
+                    np.any(self._obs_mask[:, s], -1) & np.any(self._obs_mask[:, newest], -1)
+                    & self._lm_valid))
+                if common >= min_connecting:
+                    keep.append(s)
+        dropped = [s for s in self._kf_order if s not in keep]
+        for s in dropped:
+            self._archive[self._stamps[s]] = self._poses[s].copy()
+            self._clear_kf_slot(s)
+        self._kf_order = keep
+        # shrink landmarks to those observed in the window (:950-960)
+        observed = np.any(self._obs_mask[:, self._kf_order].reshape(self.L, -1), -1)
+        for slot in np.flatnonzero(self._lm_valid & ~observed):
+            self._free_lm_slot(int(slot))
+        # fixation: oldest active → Pose, 2nd-oldest → Scale (:962-986)
+        self._fixation[:] = FIX_NONE
+        if self._kf_order:
+            self._fixation[self._kf_order[0]] = FIX_POSE
+        if len(self._kf_order) > 1:
+            self._fixation[self._kf_order[1]] = FIX_SCALE
+
+    # ------------------------------------------------------------------
+    # device window construction
+    # ------------------------------------------------------------------
+
+    def to_window(self) -> Window:
+        dt = self.dtype
+        return Window(
+            stamps=jnp.asarray(self._stamps, jnp.float32),
+            poses=jnp.asarray(self._poses, dt),
+            kf_valid=jnp.asarray(self._kf_valid),
+            fix_pose=jnp.asarray(self._fixation == FIX_POSE),
+            fix_scale=jnp.asarray(self._fixation == FIX_SCALE),
+            planes=jnp.asarray(self._planes, dt),
+            plane_valid=jnp.asarray(self._plane_valid),
+            lm_pos=jnp.asarray(self._lm_pos, dt),
+            lm_valid=jnp.asarray(self._lm_valid),
+            lm_weight=jnp.asarray(self._lm_weight, dt),
+            lm_has_depth=jnp.asarray(self._lm_has_depth),
+            lm_is_gp=jnp.asarray(self._lm_is_gp),
+            lm_id=jnp.asarray(self._lm_id, jnp.int32),
+            obs=jnp.asarray(self._obs, dt),
+            obs_mask=jnp.asarray(self._obs_mask),
+        )
+
+    def _writeback(self, w: Window):
+        poses = np.asarray(w.poses, np.float64)
+        lm_pos = np.asarray(w.lm_pos, np.float64)
+        planes = np.asarray(w.planes, np.float64)
+        act = self._kf_valid
+        self._poses[act] = poses[act]
+        self._planes[act] = planes[act]
+        self._lm_pos[self._lm_valid] = lm_pos[self._lm_valid]
+
+    # ------------------------------------------------------------------
+    # solve — reference :629-767 (+ §3.2 call stack)
+    # ------------------------------------------------------------------
+
+    def build_selection(self, window: Window) -> Selection:
+        """Landmark selection + solve wiring, all device-side.
+
+        Mirrors solve()'s selector stack: outlier flags → cheirality →
+        voxel sparsification → AddDepth(gp) guarantees; then the scale /
+        groundplane regularization weight logic (:703-728)."""
+        cfg = self.cfg
+        newest = jnp.asarray(self._kf_order[-1], jnp.int32)
+        not_outlier = ~jnp.asarray(self._lm_outlier)
+        keep = cheirality_mask(window, self.rig) & not_outlier & window.lm_valid
+        vox = voxel_scheme(window, newest, keep, cfg)
+        selected = vox.selected
+        selected = add_depth_scheme(
+            window, selected, keep & window.lm_is_gp,
+            cfg.landmark_selection.min_number_landmarks_gp)
+        selected = selected & keep
+        self._last_categories = vox.category
+
+        # gp residual wiring: nearest active keyframe with enabled plane,
+        # weight 10*(1 − d/25) when d < 25 (addGroundPlaneResiduals :517-562)
+        kf_pos = jax.vmap(lambda q: pose_np.translation(pose_np.inverse(q)))(window.poses)
+        d_all = jnp.linalg.norm(window.lm_pos[:, None] - kf_pos[None], axis=-1)
+        d_all = jnp.where((window.kf_valid & window.plane_valid)[None], d_all, jnp.inf)
+        gp_kf = jnp.argmin(d_all, axis=1).astype(jnp.int32)
+        d_min = jnp.min(d_all, axis=1)
+        gmax = cfg.regularization.gp_max_distance
+        gp_w = jnp.where(d_min < gmax,
+                         cfg.regularization.gp_height_weight * (1.0 - d_min / gmax),
+                         0.0).astype(window.lm_pos.dtype)
+        gp_w = jnp.where(window.lm_is_gp & selected, gp_w, 0.0)
+
+        # scale logic (:703-728): counts decide regularization weight
+        depth_cnt = jnp.sum((window.obs_mask & (window.obs[..., 2] > 0)
+                             & selected[:, None, None]
+                             & window.lm_has_depth[:, None, None]
+                             & window.kf_valid[None, :, None]).astype(jnp.int32))
+        gp_cnt = jnp.sum((gp_w > 0).astype(jnp.int32))
+        observed = (depth_cnt > 10) | (gp_cnt > 10)
+        reg = cfg.regularization
+        scale_w = jnp.where(
+            observed,
+            jnp.where(gp_cnt < 30,
+                      reg.scale_reg_weight_observed_base
+                      / jnp.maximum(depth_cnt + gp_cnt, 1).astype(window.lm_pos.dtype),
+                      0.0),
+            reg.scale_reg_weight_unobserved)
+        # two oldest active keyframes anchor the scale
+        k0 = jnp.asarray(self._kf_order[0], jnp.int32)
+        k1 = jnp.asarray(self._kf_order[min(1, len(self._kf_order) - 1)], jnp.int32)
+        t0 = pose_np.translation(pose_np.relative(window.poses[k1], window.poses[k0]))
+        target = jnp.linalg.norm(t0)
+        plane_dist_fixed = depth_cnt < 10  # :731-737
+
+        return Selection(
+            lm_selected=selected,
+            gp_kf=gp_kf,
+            gp_weight=gp_w,
+            scale_kf0=k0, scale_kf1=k1,
+            scale_target=target.astype(window.lm_pos.dtype),
+            scale_weight=scale_w.astype(window.lm_pos.dtype),
+            plane_dist_fixed=plane_dist_fixed,
+        )
+
+    def solve(self):
+        """Landmark selection → trimmed windowed BA → writeback.
+
+        Raises NotEnoughKeyframesException below 3 keyframes (reference
+        :630-632)."""
+        if len(self._kf_order) < 3:
+            raise NotEnoughKeyframesException(
+                f"need >= 3 keyframes, have {len(self._kf_order)}")
+        window = self.to_window()
+        if self._solve_fn is None:
+            cfg, rig = self.cfg, self.rig
+
+            @jax.jit
+            def _solve(window, sel):
+                return solve_trimmed(window, sel, rig, cfg)
+
+            self._solve_fn = _solve
+        sel = self.build_selection(window)
+        w2, sel2, info = self._solve_fn(window, sel)
+        self._writeback(w2)
+        self._last_selection = np.asarray(sel2.lm_selected)
+        return info
+
+    # ------------------------------------------------------------------
+    # adjustPoseOnly — reference :820-888 (motion-only BA)
+    # ------------------------------------------------------------------
+
+    def adjust_pose_only(self, stamp: float, pose_prior: np.ndarray,
+                         tracklets: Tracklets) -> np.ndarray:
+        """Motion-only adjustment of a candidate (not yet pushed) frame
+        against the last selection's landmarks: Cauchy reprojection + depth
+        residuals, constant-velocity regularizer when recent rotation is
+        small (weight 1−rot/0.03), quantile trimming, landmarks fixed,
+        ≤4 LM iterations (reference :820-888)."""
+        if len(self._kf_order) < 2 or self._last_selection is None:
+            return np.asarray(pose_prior)
+        # gather candidate-frame measurements aligned to landmark slots
+        obs = np.zeros((self.L, self.C, 3))
+        obs[..., 2] = -1.0
+        mask = np.zeros((self.L, self.C), bool)
+        ids, uvd, _ = tracklets.measurements_at(stamp)
+        for tid, m in zip(ids, uvd):
+            slot = self._lm_slot.get(int(tid))
+            if slot is not None:
+                obs[slot, 0] = m
+                mask[slot, 0] = True
+        lm_mask = self._last_selection & self._lm_valid & np.any(mask, -1)
+
+        # constant-velocity regularizer from the two newest keyframes
+        speed_reg = None
+        s0 = self._kf_order[-1]
+        s1 = self._kf_order[-2]
+        rot = float(np.asarray(pose_np.rotation(jnp.asarray(self._poses[s0]))) @ np.array([1, 0, 0, 0]))
+        from .geometry import quaternion as quat
+        rot_diff = float(np.asarray(quat.qangle(
+            jnp.asarray(self._poses[s0][:4]), jnp.asarray(self._poses[s1][:4]))))
+        if rot_diff < self.cfg.regularization.speed_reg_rotation_gate:
+            weight = 1.0 * (1.0 - rot_diff / self.cfg.regularization.speed_reg_rotation_gate)
+            dt_before = self._stamps[s0] - self._stamps[s1]
+            dt_cur = stamp - self._stamps[s0]
+            if dt_cur > 0 and dt_before > 0:
+                p_before_inv = _np_pose_inv(self._poses[s0])
+                vel = np.asarray(pose_np.translation(pose_np.compose(
+                    jnp.asarray(self._poses[s0]),
+                    jnp.asarray(_np_pose_inv(self._poses[s1]))))) / dt_before
+                speed_reg = (jnp.asarray(p_before_inv, self.dtype),
+                             jnp.asarray(vel, self.dtype),
+                             jnp.asarray(dt_cur, self.dtype),
+                             jnp.asarray(weight, self.dtype))
+
+        if self._pose_only_fn is None:
+            cfg, rig = self.cfg, self.rig
+
+            @jax.jit
+            def _po(pose, lm_pos, obs, mask, lm_mask, speed_reg):
+                return pose_only_step(pose, lm_pos, obs, mask, lm_mask, rig,
+                                      cfg, speed_reg=speed_reg)
+
+            @jax.jit
+            def _po_nospeed(pose, lm_pos, obs, mask, lm_mask):
+                return pose_only_step(pose, lm_pos, obs, mask, lm_mask, rig,
+                                      cfg, speed_reg=None)
+
+            self._pose_only_fn = (_po, _po_nospeed)
+
+        args = (jnp.asarray(pose_prior, self.dtype),
+                jnp.asarray(self._lm_pos, self.dtype),
+                jnp.asarray(obs, self.dtype), jnp.asarray(mask),
+                jnp.asarray(lm_mask))
+        if speed_reg is not None:
+            res = self._pose_only_fn[0](*args, speed_reg)
+        else:
+            res = self._pose_only_fn[1](*args)
+        return np.asarray(res.pose, np.float64)

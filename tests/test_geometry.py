@@ -1,0 +1,179 @@
+"""Geometry kernel tests, mirroring the reference unit tests
+(keyframe_bundle_adjustment.cpp: Triangulator tests :51-117, CostFunctor
+round-trips :118-175) plus quaternion/pose algebra invariants."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from limo_tpu.geometry import quaternion as quat
+from limo_tpu.geometry import pose as pose_ops
+from limo_tpu.geometry import camera as cam_ops
+from limo_tpu.geometry import triangulation
+from limo_tpu.geometry.camera import CameraRig
+
+
+def rand_quat(rng, n=()):
+    q = rng.normal(size=n + (4,))
+    return jnp.asarray(q / np.linalg.norm(q, axis=-1, keepdims=True))
+
+
+def rand_pose(rng, n=()):
+    return jnp.concatenate([rand_quat(rng, n), jnp.asarray(rng.normal(size=n + (3,)))], -1)
+
+
+class TestQuaternion:
+    def test_mul_identity(self, rng):
+        q = rand_quat(rng, (5,))
+        qi = jnp.broadcast_to(quat.qidentity(q.dtype), q.shape)
+        np.testing.assert_allclose(quat.qmul(q, qi), q, atol=1e-12)
+        np.testing.assert_allclose(quat.qmul(qi, q), q, atol=1e-12)
+
+    def test_inverse(self, rng):
+        q = rand_quat(rng, (5,))
+        qq = quat.qmul(q, quat.qinv(q))
+        np.testing.assert_allclose(qq[..., 0], 1.0, atol=1e-10)
+        np.testing.assert_allclose(qq[..., 1:], 0.0, atol=1e-10)
+
+    def test_rotation_matches_matrix(self, rng):
+        q = rand_quat(rng, (7,))
+        v = jnp.asarray(rng.normal(size=(7, 3)))
+        R = quat.qto_matrix(q)
+        np.testing.assert_allclose(quat.qrot(q, v), jnp.einsum("nij,nj->ni", R, v), atol=1e-10)
+
+    def test_matrix_roundtrip(self, rng):
+        q = rand_quat(rng, (20,))
+        q2 = quat.qfrom_matrix(quat.qto_matrix(q))
+        # sign-ambiguous
+        dot = jnp.abs(jnp.sum(q * q2, axis=-1))
+        np.testing.assert_allclose(dot, 1.0, atol=1e-9)
+
+    def test_exp_log_roundtrip(self, rng):
+        w = jnp.asarray(rng.normal(size=(10, 3)) * 0.5)
+        np.testing.assert_allclose(quat.qlog(quat.qexp(w)), w, atol=1e-9)
+
+    def test_exp_half_angle_convention(self):
+        # tangent of norm a rotates by 2a (Ceres QuaternionParameterization)
+        a = 0.3
+        q = quat.qexp(jnp.array([0.0, 0.0, a]))
+        angle = quat.qangle(q, quat.qidentity(q.dtype))
+        np.testing.assert_allclose(angle, 2 * a, atol=1e-9)
+
+    def test_boxplus_zero(self, rng):
+        q = rand_quat(rng, (4,))
+        q2 = quat.qboxplus(q, jnp.zeros((4, 3)))
+        np.testing.assert_allclose(q2, q, atol=1e-12)
+
+    def test_boxplus_jacobian_nonzero(self, rng):
+        # grads at delta=0 must be exact, not zero (series guard)
+        q = rand_quat(rng)
+        J = jax.jacfwd(lambda d: quat.qboxplus(q, d))(jnp.zeros(3))
+        assert np.all(np.isfinite(J))
+        assert np.linalg.norm(J) > 0.5
+
+
+class TestPose:
+    def test_compose_apply(self, rng):
+        p1, p2 = rand_pose(rng, (3,)), rand_pose(rng, (3,))
+        x = jnp.asarray(rng.normal(size=(3, 3)))
+        lhs = pose_ops.apply(pose_ops.compose(p1, p2), x)
+        rhs = pose_ops.apply(p1, pose_ops.apply(p2, x))
+        np.testing.assert_allclose(lhs, rhs, atol=1e-10)
+
+    def test_inverse(self, rng):
+        p = rand_pose(rng, (3,))
+        x = jnp.asarray(rng.normal(size=(3, 3)))
+        np.testing.assert_allclose(
+            pose_ops.apply(pose_ops.inverse(p), pose_ops.apply(p, x)), x, atol=1e-10)
+
+    def test_matrix_roundtrip(self, rng):
+        p = rand_pose(rng, (6,))
+        m = pose_ops.to_matrix(p)
+        p2 = pose_ops.from_matrix(m)
+        x = jnp.asarray(rng.normal(size=(6, 3)))
+        np.testing.assert_allclose(pose_ops.apply(p, x), pose_ops.apply(p2, x), atol=1e-9)
+
+    def test_boxplus_translation_additive(self, rng):
+        p = rand_pose(rng)
+        d = jnp.array([0.0, 0.0, 0.0, 1.0, -2.0, 3.0])
+        p2 = pose_ops.boxplus(p, d)
+        np.testing.assert_allclose(pose_ops.translation(p2),
+                                   pose_ops.translation(p) + d[3:], atol=1e-12)
+        np.testing.assert_allclose(pose_ops.rotation(p2), pose_ops.rotation(p), atol=1e-12)
+
+
+class TestCamera:
+    def test_project_backproject(self, rng):
+        f = jnp.array([600.0])
+        pp = jnp.array([[300.0, 200.0]])
+        pts = jnp.asarray(rng.uniform(0.5, 30.0, size=(10, 3)))
+        uv, valid = cam_ops.project(pts, f[0], pp[0])
+        assert bool(jnp.all(valid))
+        pts2 = cam_ops.backproject(uv, pts[:, 2], f[0], pp[0])
+        np.testing.assert_allclose(pts2, pts, rtol=1e-9)
+
+    def test_z_guard(self):
+        uv, valid = cam_ops.project(jnp.array([1.0, 1.0, 0.001]), jnp.asarray(600.0),
+                                    jnp.array([300.0, 200.0]))
+        assert not bool(valid)
+        assert np.all(np.isfinite(np.asarray(uv)))
+
+    def test_viewing_ray(self, rng):
+        f, pp = jnp.asarray(600.0), jnp.array([300.0, 200.0])
+        pt = jnp.array([2.0, -1.0, 8.0])
+        uv, _ = cam_ops.project(pt, f, pp)
+        ray = cam_ops.viewing_ray(uv, f, pp)
+        np.testing.assert_allclose(ray, pt / np.linalg.norm(pt), atol=1e-9)
+
+
+class TestTriangulation:
+    def test_two_rays_exact(self):
+        # Mirror of reference Triangulator.process (test :51-75)
+        p = jnp.array([1.0, 1.0, 3.0])
+        c0 = jnp.zeros(3)
+        c1 = jnp.array([1.0, -1.0, 0.0])
+        r0 = p / jnp.linalg.norm(p)
+        d1 = p - c1
+        r1 = d1 / jnp.linalg.norm(d1)
+        pt, ok = triangulation.triangulate_rays(jnp.stack([r0, r1]), jnp.stack([c0, c1]))
+        assert bool(ok)
+        np.testing.assert_allclose(pt, p, atol=1e-5)
+
+    def test_two_rays_offset_poses(self):
+        # Mirror of reference Triangulator.process2 (test :76-117)
+        p_gt = jnp.array([0.5, -1.0, 3.0])
+        t0 = jnp.array([1.0, -0.1, 0.5])
+        t1 = t0 + jnp.array([0.5, -0.05, 0.25])
+        r0 = (p_gt - t0) / jnp.linalg.norm(p_gt - t0)
+        r1 = (p_gt - t1) / jnp.linalg.norm(p_gt - t1)
+        pt, ok = triangulation.triangulate_rays(jnp.stack([r0, r1]), jnp.stack([t0, t1]))
+        assert bool(ok)
+        np.testing.assert_allclose(pt, p_gt, atol=1e-5)
+
+    def test_batch_and_mask(self, rng):
+        L, N = 50, 6
+        pts_gt = jnp.asarray(rng.uniform(-10, 10, size=(L, 3)) + np.array([0, 0, 20]))
+        centers = jnp.asarray(rng.uniform(-5, 5, size=(N, 3)))
+        rays = pts_gt[:, None, :] - centers[None, :, :]
+        rays = rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
+        mask = jnp.asarray(rng.uniform(size=(L, N)) > 0.3)
+        mask = mask.at[:, :2].set(True)  # ensure >= 2 obs
+        pts, ok = triangulation.triangulate_batch(
+            rays, jnp.broadcast_to(centers, (L, N, 3)), mask)
+        assert bool(jnp.all(ok))
+        np.testing.assert_allclose(pts, pts_gt, atol=1e-6)
+
+    def test_parallel_rays_invalid(self):
+        r = jnp.array([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]])
+        c = jnp.array([[0.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+        pt, ok = triangulation.triangulate_rays(r, c)
+        assert not bool(ok)
+        assert np.all(np.isfinite(np.asarray(pt)))
+
+
+class TestCameraRig:
+    def test_single(self):
+        rig = CameraRig.single(600.0, 300.0, 200.0)
+        assert rig.num_cameras == 1
+        assert rig.T_cam_veh.shape == (1, 7)

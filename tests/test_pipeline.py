@@ -1,0 +1,112 @@
+"""End-to-end pipeline tests: synthetic sequence → odometry → trajectory.
+
+The reference's system-level gate is KITTI drift via the eval scripts
+(SURVEY §3.5/§4.5); with no dataset in the image we gate on a synthetic
+KITTI-like world (generator mirrors the reference test recipe scaled up to a
+full sequence) and assert ATE / drift bounds."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import dataclasses
+
+from limo_tpu.config import LandmarkSelectionConfig, LimoConfig
+from limo_tpu.geometry.camera import CameraRig
+from limo_tpu.pipeline.metrics import ate_rmse, kitti_drift
+from limo_tpu.pipeline.odometry import LidarOdometry, MonoOdometry
+from limo_tpu.pipeline.synthetic import SyntheticTracker, make_world
+
+DT = jnp.float64
+
+
+def run_pipeline(odo_cls, with_depth, num_frames=40, seed=0, **tracker_kw):
+    world = make_world(num_frames=num_frames, speed=8.0, yaw_rate=0.015,
+                       n_landmarks=500, n_ground=150, seed=seed)
+    rig = CameraRig.single(world.focal, world.principal[0], world.principal[1],
+                           T_cam_veh=jnp.asarray(world.T_cam_veh, DT), dtype=DT)
+    # the groundplane prior must match the rig geometry (reference
+    # height_over_ground param): synthetic ground lies 1.65 m below the
+    # vehicle origin
+    cfg = LimoConfig(landmark_selection=dataclasses.replace(
+        LandmarkSelectionConfig(), height_over_ground=1.65))
+    odo = odo_cls(rig, cfg, dtype=DT)
+    tracker = SyntheticTracker(world, with_depth=with_depth, **tracker_kw)
+    for i in range(num_frames):
+        tracker.observe(i)
+        tl = tracker.tracklets()
+        odo.process_frame(world.stamps[i], tl)
+    est = odo.poses_kitti()
+    gt = world.kitti_gt()
+    return world, odo, est, gt
+
+
+class TestMonoPipeline:
+    def test_short_clip_ate(self, rng):
+        world, odo, est, gt = run_pipeline(MonoOdometry, with_depth=False,
+                                           num_frames=40, pixel_noise=0.2,
+                                           label_ground=False)
+        n_kf = sum(1 for f in odo.trajectory if f.is_keyframe)
+        n_solved = sum(1 for f in odo.trajectory if f.solved)
+        assert n_kf >= 5, n_kf
+        assert n_solved >= 2, n_solved
+        # mono scale drifts; ATE with similarity alignment must be tight
+        err = ate_rmse(gt, est, with_scale=True)
+        assert err < 1.0, err
+
+    def test_trajectory_length(self):
+        world, odo, est, gt = run_pipeline(MonoOdometry, with_depth=False,
+                                           num_frames=25, pixel_noise=0.2,
+                                           label_ground=False)
+        assert est.shape[0] == 25
+        # trajectory actually moves
+        assert np.linalg.norm(est[-1][:3, 3] - est[0][:3, 3]) > 3.0
+
+
+class TestLidarPipeline:
+    def test_depth_fixes_scale(self, rng):
+        world, odo, est, gt = run_pipeline(LidarOdometry, with_depth=True,
+                                           num_frames=40, pixel_noise=0.2,
+                                           depth_noise=0.03)
+        # metric scale observed: rigid (no-scale) ATE must be small
+        err = ate_rmse(gt, est, with_scale=False)
+        assert err < 1.0, err
+        # drift over the ~32 m clip
+        gt_len = np.linalg.norm(np.diff(gt[:, :3, 3], axis=0), axis=1).sum()
+        end_err = np.linalg.norm(est[-1][:3, 3] - gt[-1][:3, 3])
+        assert end_err / gt_len < 0.05, (end_err, gt_len)
+
+
+class TestMetrics:
+    def test_ate_identity(self):
+        p = np.tile(np.eye(4), (10, 1, 1))
+        p[:, 0, 3] = np.arange(10)
+        assert ate_rmse(p, p) < 1e-12
+
+    def test_ate_alignment_invariance(self, rng):
+        p = np.tile(np.eye(4), (20, 1, 1))
+        p[:, :3, 3] = rng.normal(size=(20, 3)) * 10
+        # rotate the whole trajectory — aligned ATE stays ~0
+        th = 0.7
+        R = np.array([[np.cos(th), -np.sin(th), 0],
+                      [np.sin(th), np.cos(th), 0], [0, 0, 1.0]])
+        q = p.copy()
+        q[:, :3, 3] = p[:, :3, 3] @ R.T + np.array([5.0, -3.0, 2.0])
+        assert ate_rmse(p, q) < 1e-9
+
+    def test_kitti_drift_zero_for_exact(self):
+        n = 300
+        p = np.tile(np.eye(4), (n, 1, 1))
+        p[:, 0, 3] = np.arange(n) * 0.5  # 150 m straight
+        out = kitti_drift(p, p)
+        assert out["num_segments"] > 0
+        assert out["t_err_percent"] < 1e-9
+
+    def test_kitti_drift_detects_scale_error(self):
+        n = 300
+        p = np.tile(np.eye(4), (n, 1, 1))
+        p[:, 0, 3] = np.arange(n) * 0.5
+        q = p.copy()
+        q[:, 0, 3] *= 0.95  # 5% scale error
+        out = kitti_drift(p, q)
+        assert abs(out["t_err_percent"] - 5.0) < 0.5
