@@ -1,0 +1,218 @@
+"""Feature detection, matching and tracking — the viso2-equivalent front end.
+
+The reference clones ``viso_feature_tracking``/``viso2`` at build time
+(install_repos.sh); its behavior contract comes from
+``res/config_feature_matching.yaml``: NMS neighborhood 9, match bin size 200,
+match radius 400, outlier flow tolerance 4, subpixel refinement, max track
+length 100.
+
+TPU re-design (everything batched, fixed shapes):
+  - corner strength: Shi-Tomasi min-eigenvalue response from Sobel gradients
+    (XLA convolutions → MXU)
+  - NMS: reduce_window max-pool equality (suppression radius = nms_n)
+  - fixed feature count via top-k response
+  - descriptors: 8×8 intensity patch + gradient patch, gathered and
+    L2-normalized — matching becomes one [N,N] matmul (MXU) instead of
+    viso2's sparse SAD loops
+  - mutual nearest-neighbor matching gated by pixel radius, with a global
+    flow-consistency gate (outlier_flow_tolerance vs median flow)
+  - subpixel refinement: 1D parabola fit on the response map
+
+Track maintenance (id bookkeeping) stays on the host in
+:class:`limo_tpu.pipeline.tracklets.TrackletBuilder`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class TrackerConfig:
+    max_features: int = 1024
+    nms_radius: int = 9            # nms_n (config_feature_matching.yaml:11)
+    min_response: float = 1e-4
+    match_radius: float = 400.0    # match_radius (yaml:14)
+    outlier_flow_tolerance: float = 4.0  # yaml:16
+    patch: int = 8                 # descriptor patch side
+    border: int = 12
+    subpixel: bool = True          # refinement: 1 (yaml:19)
+
+
+class Features(NamedTuple):
+    uv: jnp.ndarray        # [N,2] (u,v) subpixel
+    response: jnp.ndarray  # [N]
+    desc: jnp.ndarray      # [N,D] L2-normalized
+    valid: jnp.ndarray     # [N] bool
+
+
+class MatchResult(NamedTuple):
+    prev_index: jnp.ndarray  # [N] index into previous Features, -1 = no match
+    n_matches: jnp.ndarray
+
+
+def _sobel(img):
+    kx = jnp.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], img.dtype) / 8.0
+    ky = kx.T
+    def conv(k):
+        return jax.lax.conv_general_dilated(
+            img[None, None], k[None, None], (1, 1), "SAME")[0, 0]
+    return conv(kx), conv(ky)
+
+
+def _box_filter(x, r):
+    w = jnp.ones((2 * r + 1, 2 * r + 1), x.dtype)
+    return jax.lax.conv_general_dilated(
+        x[None, None], w[None, None], (1, 1), "SAME")[0, 0]
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def detect(img, cfg: TrackerConfig = TrackerConfig()) -> Features:
+    """Shi-Tomasi corners + NMS + top-k + descriptors on one grayscale image
+    [H,W] (float 0..1)."""
+    H, W = img.shape
+    gx, gy = _sobel(img)
+    Ixx = _box_filter(gx * gx, 2)
+    Iyy = _box_filter(gy * gy, 2)
+    Ixy = _box_filter(gx * gy, 2)
+    tr = Ixx + Iyy
+    det = Ixx * Iyy - Ixy * Ixy
+    # min eigenvalue of the structure tensor
+    resp = tr / 2.0 - jnp.sqrt(jnp.maximum((tr / 2.0) ** 2 - det, 0.0))
+
+    r = cfg.nms_radius
+    win = (2 * r + 1, 2 * r + 1)
+    mx = jax.lax.reduce_window(resp, -jnp.inf, jax.lax.max, win, (1, 1), "SAME")
+    cand = (resp >= mx) & (resp > cfg.min_response)
+    # strict tie-break on plateaus (e.g. ideal checkerboards): among tied
+    # candidates keep only the one with the largest linear index per window
+    lin = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W)
+    lin_cand = jnp.where(cand, lin, -1)
+    lin_mx = jax.lax.reduce_window(lin_cand, jnp.int32(-1), jax.lax.max,
+                                   win, (1, 1), "SAME")
+    is_peak = cand & (lin_cand == lin_mx)
+    # kill borders (descriptor patch support)
+    b = cfg.border
+    row = jnp.arange(H)[:, None]
+    col = jnp.arange(W)[None, :]
+    inside = (row >= b) & (row < H - b) & (col >= b) & (col < W - b)
+    score = jnp.where(is_peak & inside, resp, 0.0).reshape(-1)
+
+    k = cfg.max_features
+    top_val, top_idx = jax.lax.top_k(score, k)
+    vv = (top_idx // W).astype(jnp.float32)
+    uu = (top_idx % W).astype(jnp.float32)
+    valid = top_val > 0
+
+    if cfg.subpixel:
+        # 1D parabola in u and v on the response map
+        iu = top_idx % W
+        iv = top_idx // W
+        c = resp.reshape(-1)[top_idx]
+        l = resp[iv, jnp.clip(iu - 1, 0, W - 1)]
+        rr = resp[iv, jnp.clip(iu + 1, 0, W - 1)]
+        du = 0.5 * (l - rr) / jnp.maximum(l - 2 * c + rr, 1e-9)
+        u_ = resp[jnp.clip(iv - 1, 0, H - 1), iu]
+        d_ = resp[jnp.clip(iv + 1, 0, H - 1), iu]
+        dv = 0.5 * (u_ - d_) / jnp.maximum(u_ - 2 * c + d_, 1e-9)
+        uu = uu + jnp.clip(du, -0.5, 0.5)
+        vv = vv + jnp.clip(dv, -0.5, 0.5)
+
+    # descriptors: patch of intensity + gradients at integer location
+    p = cfg.patch
+    half = p // 2
+    dy, dx = jnp.meshgrid(jnp.arange(-half, half), jnp.arange(-half, half),
+                          indexing="ij")
+
+    def patch_at(iy, ix):
+        ys = jnp.clip(iy + dy, 0, H - 1)
+        xs = jnp.clip(ix + dx, 0, W - 1)
+        return jnp.stack([img[ys, xs], gx[ys, xs], gy[ys, xs]], -1).reshape(-1)
+
+    iu = jnp.clip(uu.astype(jnp.int32), 0, W - 1)
+    iv = jnp.clip(vv.astype(jnp.int32), 0, H - 1)
+    desc = jax.vmap(patch_at)(iv, iu)
+    desc = desc - jnp.mean(desc, -1, keepdims=True)
+    desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-9)
+
+    return Features(uv=jnp.stack([uu, vv], -1), response=top_val,
+                    desc=desc, valid=valid)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def match(cur: Features, prev: Features,
+          cfg: TrackerConfig = TrackerConfig()) -> MatchResult:
+    """Mutual-NN descriptor matching gated by radius + flow consistency.
+
+    Similarity = NCC (descriptor dot product — one MXU matmul). Returns for
+    each current feature the index of its previous-frame match or -1.
+    """
+    sim = cur.desc @ prev.desc.T                                  # [N,N]
+    d2 = jnp.sum((cur.uv[:, None] - prev.uv[None]) ** 2, -1)
+    ok = (cur.valid[:, None] & prev.valid[None]
+          & (d2 <= cfg.match_radius ** 2))
+    sim = jnp.where(ok, sim, -2.0)
+    best_prev = jnp.argmax(sim, 1)                                # cur → prev
+    best_cur = jnp.argmax(sim, 0)                                 # prev → cur
+    n = cur.uv.shape[0]
+    mutual = best_cur[best_prev] == jnp.arange(n)
+    score = jnp.take_along_axis(sim, best_prev[:, None], 1)[:, 0]
+    good = mutual & (score > 0.5) & cur.valid
+
+    # flow-consistency gate: deviation from the median flow bounded by a
+    # wide multiple of outlier_flow_tolerance (viso gates per spatial bucket;
+    # the global gate keeps rotation-induced spread while killing gross
+    # mismatches)
+    flow = cur.uv - prev.uv[best_prev]
+    med = jnp.median(jnp.where(good[:, None], flow, jnp.nan), axis=0)
+    med = jnp.nan_to_num(med)
+    dev = jnp.linalg.norm(flow - med, axis=-1)
+    good = good & (dev < 8.0 * cfg.outlier_flow_tolerance)
+
+    prev_index = jnp.where(good, best_prev, -1)
+    return MatchResult(prev_index=prev_index.astype(jnp.int32),
+                       n_matches=jnp.sum(good.astype(jnp.int32)))
+
+
+class FeatureTracker:
+    """Host-side wrapper: detect → match → feed TrackletBuilder."""
+
+    def __init__(self, cfg: TrackerConfig = TrackerConfig(),
+                 max_track_length: int = 100):
+        from ..pipeline.tracklets import TrackletBuilder
+        self.cfg = cfg
+        self.builder = TrackletBuilder(max_track_length=max_track_length)
+        self._prev: Features | None = None
+
+    def process(self, stamp: float, img: np.ndarray,
+                depth_fn=None) -> None:
+        """img: [H,W] grayscale float. depth_fn: optional callable
+        (uv [N,2] → depths [N]) — the lidar depth hook."""
+        feats = detect(jnp.asarray(img, jnp.float32), self.cfg)
+        if self._prev is not None:
+            m = match(feats, self._prev, self.cfg)
+            prev_match = np.asarray(m.prev_index)
+        else:
+            prev_match = np.full((self.cfg.max_features,), -1, np.int64)
+        uv = np.asarray(feats.uv)
+        valid = np.asarray(feats.valid)
+        uv_v = uv[valid]
+        pm = prev_match[valid]
+        # remap prev indices to the previous frame's *valid-compacted* order
+        if self._prev is not None:
+            prev_valid = np.asarray(self._prev.valid)
+            remap = np.full(prev_valid.shape[0], -1, np.int64)
+            remap[prev_valid] = np.arange(int(prev_valid.sum()))
+            pm = np.where(pm >= 0, remap[np.clip(pm, 0, None)], -1)
+        depths = depth_fn(uv_v) if depth_fn is not None else None
+        self.builder.push_frame(stamp, uv_v, pm, depths)
+        self._prev = feats
+
+    def tracklets(self, window: int | None = None):
+        return self.builder.to_tracklets(window)

@@ -117,6 +117,8 @@ def solve_trimmed(window: Window, sel: Selection, rig, cfg,
         lam = jnp.where(accept,
                         jnp.maximum(st.lam * scfg.lambda_down, scfg.min_lambda),
                         jnp.minimum(st.lam * scfg.lambda_up, scfg.max_lambda))
+        rel_step = (st.cost - new_cost) / jnp.maximum(st.cost, 1e-12)
+        converged = accept & (rel_step < scfg.function_tolerance)
         cost = jnp.where(accept, new_cost, st.cost)
         st = st._replace(window=window, lam=lam, cost=cost,
                          it_in_round=st.it_in_round + 1,
@@ -132,9 +134,9 @@ def solve_trimmed(window: Window, sel: Selection, rig, cfg,
         extend = at_budget & (~in_refinement) & (~st.extended) & (~decreased)
         round_over = at_budget & (~extend)
 
-        # refinement ends at budget or when the step is hopeless
+        # refinement ends at budget, on convergence, or when hopeless
         refinement_done = in_refinement & (
-            round_over | (st.lam >= scfg.max_lambda))
+            round_over | converged | (st.lam >= scfg.max_lambda))
 
         def end_round(s):
             s = trim(s)
