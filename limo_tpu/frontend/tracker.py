@@ -40,6 +40,7 @@ class TrackerConfig:
     min_response: float = 1e-4
     match_radius: float = 400.0    # match_radius (yaml:14)
     outlier_flow_tolerance: float = 4.0  # yaml:16
+    locality_sigma: float = 100.0  # px; similarity tie-break toward small flow
     patch: int = 8                 # descriptor patch side
     border: int = 12
     subpixel: bool = True          # refinement: 1 (yaml:19)
@@ -145,6 +146,17 @@ def detect(img, cfg: TrackerConfig = TrackerConfig()) -> Features:
                     desc=desc, valid=valid)
 
 
+def _masked_median(x, mask):
+    """Median of the masked entries (0 when the mask is empty) — plain
+    jnp.median would propagate the fill values."""
+    n = x.shape[0]
+    s = jnp.sort(jnp.where(mask, x, jnp.inf))
+    cnt = jnp.sum(mask)
+    i = jnp.clip((cnt - 1) // 2, 0, n - 1)
+    j = jnp.clip(cnt // 2, 0, n - 1)
+    return jnp.where(cnt > 0, 0.5 * (s[i] + s[j]), 0.0)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def match(cur: Features, prev: Features,
           cfg: TrackerConfig = TrackerConfig()) -> MatchResult:
@@ -157,21 +169,25 @@ def match(cur: Features, prev: Features,
     d2 = jnp.sum((cur.uv[:, None] - prev.uv[None]) ** 2, -1)
     ok = (cur.valid[:, None] & prev.valid[None]
           & (d2 <= cfg.match_radius ** 2))
-    sim = jnp.where(ok, sim, -2.0)
-    best_prev = jnp.argmax(sim, 1)                                # cur → prev
-    best_cur = jnp.argmax(sim, 0)                                 # prev → cur
+    # locality prior: repetitive texture (identical-looking features) ties
+    # the descriptor similarity; bias near-equal candidates toward the
+    # smallest motion so argmax stays stable under parallax
+    sim_adj = jnp.where(ok, sim - d2 / (2.0 * cfg.locality_sigma ** 2), -2.0)
+    best_prev = jnp.argmax(sim_adj, 1)                            # cur → prev
+    best_cur = jnp.argmax(sim_adj, 0)                             # prev → cur
     n = cur.uv.shape[0]
     mutual = best_cur[best_prev] == jnp.arange(n)
-    score = jnp.take_along_axis(sim, best_prev[:, None], 1)[:, 0]
+    score = jnp.take_along_axis(jnp.where(ok, sim, -2.0),
+                                best_prev[:, None], 1)[:, 0]
     good = mutual & (score > 0.5) & cur.valid
 
-    # flow-consistency gate: deviation from the median flow bounded by a
-    # wide multiple of outlier_flow_tolerance (viso gates per spatial bucket;
-    # the global gate keeps rotation-induced spread while killing gross
-    # mismatches)
+    # flow-consistency gate: deviation from the (masked) median flow bounded
+    # by a wide multiple of outlier_flow_tolerance (viso gates per spatial
+    # bucket; the global gate keeps rotation-induced spread while killing
+    # gross mismatches)
     flow = cur.uv - prev.uv[best_prev]
-    med = jnp.median(jnp.where(good[:, None], flow, jnp.nan), axis=0)
-    med = jnp.nan_to_num(med)
+    med = jnp.stack([_masked_median(flow[:, 0], good),
+                     _masked_median(flow[:, 1], good)])
     dev = jnp.linalg.norm(flow - med, axis=-1)
     good = good & (dev < 8.0 * cfg.outlier_flow_tolerance)
 

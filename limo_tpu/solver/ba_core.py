@@ -98,6 +98,109 @@ def _gp_residual(pose_tangent, plane_tangent, lm_delta, pose, plane, lm):
     return r
 
 
+def _obs_system(window: Window, sel: Selection, rig, cfg,
+                compensate_rotation: bool, with_jacobians: bool):
+    """Residuals (+ optional tangent jacobians) for every (l,k,c) slot on the
+    dense grid, with IRLS row weights and the robust cost.
+
+    Returns (r [L,K,C,3], repr_ok, depth_ok [L,K,C], row_w [L,K,C,3],
+    Jp [L,K,C,3,6]|None, Jl [L,K,C,3,3]|None, cost scalar)."""
+    K, L, C = window.K, window.L, window.C
+    dtype = window.poses.dtype
+    f = rig.focal.astype(dtype)
+    pp = rig.principal.astype(dtype)
+    Tcv = rig.T_cam_veh.astype(dtype)
+    robust_cfg = cfg.robust
+
+    N = L * K * C
+    uvd = window.obs.reshape(N, 3)
+    kf_idx = (jnp.arange(N, dtype=jnp.int32) // C) % K
+    cam_idx = jnp.arange(N, dtype=jnp.int32) % C
+    lm_idx = jnp.arange(N, dtype=jnp.int32) // (K * C)
+    poses_o = window.poses[kf_idx]
+    lms_o = window.lm_pos[lm_idx]
+
+    def obs_fn(pt, ld, pose, lm, uvd1, f1, pp1, tcv1):
+        return _obs_residual(pt, ld, pose, lm, uvd1, f1, pp1, tcv1,
+                             compensate_rotation=compensate_rotation)
+
+    zero6 = jnp.zeros((N, 6), dtype)
+    zero3 = jnp.zeros((N, 3), dtype)
+    args = (zero6, zero3, poses_o, lms_o, uvd, f[cam_idx], pp[cam_idx],
+            Tcv[cam_idx])
+    r_flat, proj_ok = jax.vmap(obs_fn)(*args)
+    if with_jacobians:
+        jac_fn = jax.jacfwd(lambda pt, ld, *a: obs_fn(pt, ld, *a)[0],
+                            argnums=(0, 1))
+        Jp_f, Jl_f = jax.vmap(jac_fn)(*args)
+        Jp = Jp_f.reshape(L, K, C, 3, 6)
+        Jl = Jl_f.reshape(L, K, C, 3, 3)
+    else:
+        Jp = Jl = None
+
+    r = r_flat.reshape(L, K, C, 3)
+    lm_active = window.lm_valid & sel.lm_selected
+    base_ok = (window.obs_mask & lm_active[:, None, None]
+               & window.kf_valid[None, :, None])
+    repr_ok = base_ok & proj_ok.reshape(L, K, C)
+    depth_ok = base_ok & (window.obs[..., 2] > 0) \
+        & window.lm_has_depth[:, None, None]
+
+    s_repr = jnp.sum(r[..., :2] ** 2, -1)
+    s_depth = r[..., 2] ** 2
+    w_lm = window.lm_weight[:, None, None]
+    w_repr = jnp.where(repr_ok,
+                       w_lm * cauchy_weight(s_repr, robust_cfg.reprojection_thres),
+                       0.0)
+    w_depth = jnp.where(depth_ok,
+                        w_lm * cauchy_weight(s_depth, robust_cfg.depth_thres),
+                        0.0)
+    row_w = jnp.stack([w_repr, w_repr, w_depth], -1)
+
+    a2r = robust_cfg.reprojection_thres ** 2
+    a2d = robust_cfg.depth_thres ** 2
+    cost = 0.5 * jnp.sum(jnp.where(repr_ok, w_lm * a2r * jnp.log1p(s_repr / a2r), 0.0)) \
+        + 0.5 * jnp.sum(jnp.where(depth_ok, w_lm * a2d * jnp.log1p(s_depth / a2d), 0.0))
+    return r, repr_ok, depth_ok, row_w, Jp, Jl, cost
+
+
+def _gp_system(window: Window, sel: Selection, cfg, with_jacobians: bool):
+    """Groundplane height residuals per landmark vs the attached keyframe.
+
+    Returns (r_gp [L], w_gp [L], gp_on [L], cost, Jgp_kp [L,10]|None,
+    Jgp_lm [L,3]|None)."""
+    L = window.L
+    dtype = window.poses.dtype
+    reg_cfg = cfg.regularization
+    gp_kf = sel.gp_kf
+    lm_active = window.lm_valid & sel.lm_selected
+    gp_on = lm_active & window.lm_is_gp & (sel.gp_weight > 0) \
+        & window.kf_valid[gp_kf]
+    gp_poses = window.poses[gp_kf]
+    gp_planes = window.planes[gp_kf]
+    z6 = jnp.zeros((L, 6), dtype)
+    z4 = jnp.zeros((L, 4), dtype)
+    z3 = jnp.zeros((L, 3), dtype)
+    r_gp = jax.vmap(_gp_residual)(z6, z4, z3, gp_poses, gp_planes,
+                                  window.lm_pos)[:, 0]
+    s_gp = r_gp ** 2
+    w_gp = jnp.where(gp_on,
+                     sel.gp_weight * huber_weight(s_gp, reg_cfg.gp_height_huber_delta),
+                     0.0)
+    hd = reg_cfg.gp_height_huber_delta
+    rho = jnp.where(s_gp <= hd * hd, s_gp,
+                    2.0 * hd * jnp.sqrt(jnp.maximum(s_gp, 1e-20)) - hd * hd)
+    cost = 0.5 * jnp.sum(jnp.where(gp_on, sel.gp_weight * rho, 0.0))
+    if with_jacobians:
+        Jgp = jax.vmap(jax.jacfwd(_gp_residual, argnums=(0, 1, 2)))(
+            z6, z4, z3, gp_poses, gp_planes, window.lm_pos)
+        Jgp_pose, Jgp_plane, Jgp_lm = (j[:, 0, :] for j in Jgp)
+        Jgp_kp = jnp.concatenate([Jgp_pose, Jgp_plane], -1)
+    else:
+        Jgp_kp = Jgp_lm = None
+    return r_gp, w_gp, gp_on, cost, Jgp_kp, Jgp_lm
+
+
 def assemble(window: Window, sel: Selection, rig, cfg,
              compensate_rotation: bool = False,
              pose_only: bool = False,
@@ -118,125 +221,44 @@ def assemble(window: Window, sel: Selection, rig, cfg,
     robust_cfg = cfg.robust
     reg_cfg = cfg.regularization
 
-    # ---- flatten observations landmark-major: index i -> (l, k, c) ----
-    N = L * K * C
-    lm_idx = jnp.arange(N, dtype=jnp.int32) // (K * C)
-    kf_idx = (jnp.arange(N, dtype=jnp.int32) // C) % K
-    cam_idx = jnp.arange(N, dtype=jnp.int32) % C
-
-    uvd = window.obs.reshape(N, 3)
-    obs_ok = window.obs_mask.reshape(N)
-
+    # ---- per-observation residuals + jacobians on the dense [L,K,C] grid --
+    # The landmark-major layout makes every "segment sum" a plain axis
+    # reduction (einsum → MXU); no scatters on the hot path (scatters
+    # serialize badly on TPU).
+    r_obs, repr_ok, depth_ok, row_w, Jp_obs, Jl_obs, cost = _obs_system(
+        window, sel, rig, cfg, compensate_rotation, with_jacobians=True)
     lm_active = window.lm_valid & sel.lm_selected
-    obs_ok = obs_ok & lm_active[lm_idx] & window.kf_valid[kf_idx]
 
-    poses_o = window.poses[kf_idx]
-    lms_o = window.lm_pos[lm_idx]
-    f_o = f[cam_idx]
-    pp_o = pp[cam_idx]
-    Tcv_o = Tcv[cam_idx]
-
-    zero6 = jnp.zeros((N, 6), dtype)
-    zero3 = jnp.zeros((N, 3), dtype)
-
-    def obs_fn(pt, ld, pose, lm, uvd1, f1, pp1, tcv1):
-        return _obs_residual(pt, ld, pose, lm, uvd1, f1, pp1, tcv1,
-                             compensate_rotation=compensate_rotation)
-
-    # jacfwd over the 9 tangent dims (cheap: 9 JVPs, vectorized by vmap)
-    jac_fn = jax.jacfwd(lambda pt, ld, *a: obs_fn(pt, ld, *a)[0], argnums=(0, 1))
-    r_obs, obs_proj_ok = jax.vmap(obs_fn)(zero6, zero3, poses_o, lms_o, uvd, f_o, pp_o, Tcv_o)
-    Jp_obs, Jl_obs = jax.vmap(jac_fn)(zero6, zero3, poses_o, lms_o, uvd, f_o, pp_o, Tcv_o)
-    # r_obs [N,3], Jp_obs [N,3,6], Jl_obs [N,3,3]
-
-    repr_ok = obs_ok & obs_proj_ok
-    depth_ok = obs_ok & (uvd[:, 2] > 0) & window.lm_has_depth[lm_idx]
-
-    # ---- robust IRLS row weights --------------------------------------
-    s_repr = jnp.sum(r_obs[:, :2] ** 2, axis=-1)
-    s_depth = r_obs[:, 2] ** 2
-    w_lm = window.lm_weight[lm_idx]
-    w_repr = w_lm * cauchy_weight(s_repr, robust_cfg.reprojection_thres)
-    w_depth = w_lm * cauchy_weight(s_depth, robust_cfg.depth_thres)
-    w_repr = jnp.where(repr_ok, w_repr, 0.0)
-    w_depth = jnp.where(depth_ok, w_depth, 0.0)
-    row_w = jnp.stack([w_repr, w_repr, w_depth], axis=-1)  # [N,3]
-
-    # robust cost (Ceres: 0.5 Σ w ρ(s))
-    a2r = robust_cfg.reprojection_thres ** 2
-    a2d = robust_cfg.depth_thres ** 2
-    rho_repr = a2r * jnp.log1p(s_repr / a2r)
-    rho_depth = a2d * jnp.log1p(s_depth / a2d)
-    cost = 0.5 * jnp.sum(jnp.where(repr_ok, w_lm * rho_repr, 0.0)) \
-        + 0.5 * jnp.sum(jnp.where(depth_ok, w_lm * rho_depth, 0.0))
-
-    # ---- scatter into blocks ------------------------------------------
-    # weighted jacobians
-    Jp_w = Jp_obs * row_w[:, :, None]   # rows scaled by w (≙ σ² on JᵀJ)
-    # U (pose-block) contributions: per-k 6x6
-    U_k = jnp.zeros((K, 6, 6), dtype).at[kf_idx].add(
-        jnp.einsum("nri,nrj->nij", Jp_w, Jp_obs))
-    b_pose_k = jnp.zeros((K, 6), dtype).at[kf_idx].add(
-        -jnp.einsum("nri,nr->ni", Jp_w, r_obs))
-    # V landmark blocks [L,3,3]
-    V = jnp.zeros((L, 3, 3), dtype).at[lm_idx].add(
-        jnp.einsum("nri,nrj->nij", Jl_obs * row_w[:, :, None], Jl_obs))
-    b_l = jnp.zeros((L, 3), dtype).at[lm_idx].add(
-        -jnp.einsum("nri,nr->ni", Jl_obs * row_w[:, :, None], r_obs))
-    # W cross blocks, stored per (l,k): [L,K,6,3], then embedded in [L,P,3]
-    flat_lk = lm_idx * K + kf_idx
-    W_lk6 = jnp.zeros((L * K, 6, 3), dtype).at[flat_lk].add(
-        jnp.einsum("nri,nrj->nij", Jp_w, Jl_obs))
-    W_lk6 = W_lk6.reshape(L, K, 6, 3)
+    # ---- reduce into blocks (contractions over the obs axes) ------------
+    Jp_w = Jp_obs * row_w[..., None]     # [L,K,C,3,6] rows scaled by w
+    U_k = jnp.einsum("lkcri,lkcrj->kij", Jp_w, Jp_obs)
+    b_pose_k = -jnp.einsum("lkcri,lkcr->ki", Jp_w, r_obs)
+    Jl_w = Jl_obs * row_w[..., None]
+    V = jnp.einsum("lkcri,lkcrj->lij", Jl_w, Jl_obs)
+    b_l = -jnp.einsum("lkcri,lkcr->li", Jl_w, r_obs)
+    W_lk6 = jnp.einsum("lkcri,lkcrj->lkij", Jp_w, Jl_obs)   # [L,K,6,3]
 
     # ---- groundplane height residuals (one per gp landmark) ------------
-    gp_kf = sel.gp_kf
-    gp_on = lm_active & window.lm_is_gp & (sel.gp_weight > 0) & window.kf_valid[gp_kf]
-    gp_poses = window.poses[gp_kf]
-    gp_planes = window.planes[gp_kf]
-    z6 = jnp.zeros((L, 6), dtype)
-    z4 = jnp.zeros((L, 4), dtype)
-    z3 = jnp.zeros((L, 3), dtype)
-    r_gp = jax.vmap(_gp_residual)(z6, z4, z3, gp_poses, gp_planes, window.lm_pos)[:, 0]
-    Jgp = jax.vmap(jax.jacfwd(_gp_residual, argnums=(0, 1, 2)))(
-        z6, z4, z3, gp_poses, gp_planes, window.lm_pos)
-    Jgp_pose, Jgp_plane, Jgp_lm = (j[:, 0, :] for j in Jgp)  # [L,6],[L,4],[L,3]
-
-    s_gp = r_gp ** 2
-    w_gp = sel.gp_weight * huber_weight(s_gp, reg_cfg.gp_height_huber_delta)
-    w_gp = jnp.where(gp_on, w_gp, 0.0)
-    # Huber rho for cost
-    hd = reg_cfg.gp_height_huber_delta
-    rho_gp = jnp.where(s_gp <= hd * hd, s_gp, 2.0 * hd * jnp.sqrt(jnp.maximum(s_gp, 1e-20)) - hd * hd)
-    cost = cost + 0.5 * jnp.sum(jnp.where(gp_on, sel.gp_weight * rho_gp, 0.0))
-
-    Jgp_kp = jnp.concatenate([Jgp_pose, Jgp_plane], axis=-1)  # [L,10] (pose+plane of gp_kf)
-    U_gp = jnp.zeros((K, PD, PD), dtype).at[gp_kf].add(
-        w_gp[:, None, None] * Jgp_kp[:, :, None] * Jgp_kp[:, None, :])
-    b_gp_k = jnp.zeros((K, PD), dtype).at[gp_kf].add(
-        -(w_gp * r_gp)[:, None] * Jgp_kp)
+    r_gp, w_gp, gp_on, gp_cost, Jgp_kp, Jgp_lm = _gp_system(
+        window, sel, cfg, with_jacobians=True)
+    cost = cost + gp_cost
+    # one-hot over the attached keyframe turns every gp "scatter" into a
+    # small matmul (K = 20 — MXU-friendly, no TPU scatter serialization)
+    gp_oh = jax.nn.one_hot(sel.gp_kf, K, dtype=dtype)        # [L,K]
+    U_gp = jnp.einsum("lk,l,li,lj->kij", gp_oh, w_gp, Jgp_kp, Jgp_kp)
+    b_gp_k = -jnp.einsum("lk,l,li->ki", gp_oh, w_gp * r_gp, Jgp_kp)
     V = V + w_gp[:, None, None] * Jgp_lm[:, :, None] * Jgp_lm[:, None, :]
     b_l = b_l - (w_gp * r_gp)[:, None] * Jgp_lm
-    # gp cross term into W at (l, gp_kf): [10,3] block
-    W_gp = w_gp[:, None, None] * Jgp_kp[:, :, None] * Jgp_lm[:, None, :]  # [L,10,3]
+    W_gp = jnp.einsum("lk,l,li,lj->lkij", gp_oh, w_gp, Jgp_kp, Jgp_lm)
 
-    # ---- assemble dense H_pp [P,P] ------------------------------------
-    H_pp = jnp.zeros((P, P), dtype)
-    # embed per-k blocks: pose 6x6 at (10k,10k), gp 10x10 at (10k,10k)
-    kk = jnp.arange(K)
-    blocks = jnp.zeros((K, PD, PD), dtype)
-    blocks = blocks.at[:, :6, :6].add(U_k) + U_gp
-    # scatter block-diagonal
-    row_ix = (kk[:, None, None] * PD + jnp.arange(PD)[None, :, None])
-    col_ix = (kk[:, None, None] * PD + jnp.arange(PD)[None, None, :])
-    H_pp = H_pp.at[row_ix, col_ix].add(blocks)
-    b_p = jnp.zeros((K, PD), dtype).at[:, :6].add(b_pose_k)
-    b_p = (b_p + b_gp_k).reshape(P)
+    # ---- assemble dense H_pp [P,P] (block-diagonal embed, no scatter) ----
+    blocks = jnp.pad(U_k, ((0, 0), (0, PD - 6), (0, PD - 6))) + U_gp  # [K,PD,PD]
+    H_pp = jnp.einsum("kab,kq->kaqb", blocks,
+                      jnp.eye(K, dtype=dtype)).reshape(P, P)
+    b_p = (jnp.pad(b_pose_k, ((0, 0), (0, PD - 6))) + b_gp_k).reshape(P)
 
-    # embed W: [L,K,10,3] -> [L,P,3]
-    W_full = jnp.zeros((L, K, PD, 3), dtype)
-    W_full = W_full.at[:, :, :6, :].set(W_lk6)
-    W_full = W_full.at[jnp.arange(L), gp_kf].add(W_gp)
+    # embed W: pose columns from obs, pose+plane columns from gp
+    W_full = (jnp.pad(W_lk6, ((0, 0), (0, 0), (0, PD - 6), (0, 0))) + W_gp)
     W_full = W_full.reshape(L, P, 3)
 
     # ---- regularization residuals (dense over pose+plane params) -------
@@ -269,14 +291,14 @@ def assemble(window: Window, sel: Selection, rig, cfg,
     V = jnp.where(lm_free[:, None, None], V, jnp.eye(3, dtype=dtype)[None])
     b_l = b_l * lm_free[:, None]
 
+    s_repr = jnp.linalg.norm(r_obs[..., :2], axis=-1)
+    s_depth = jnp.abs(r_obs[..., 2])
     stats = ResidualStats(
-        repr_score=jnp.zeros((L,), dtype).at[lm_idx].max(
-            jnp.where(repr_ok, jnp.sqrt(s_repr), 0.0)),
-        depth_score=jnp.zeros((L,), dtype).at[lm_idx].max(
-            jnp.where(depth_ok, jnp.sqrt(s_depth), 0.0)),
+        repr_score=jnp.max(jnp.where(repr_ok, s_repr, 0.0), axis=(1, 2)),
+        depth_score=jnp.max(jnp.where(depth_ok, s_depth, 0.0), axis=(1, 2)),
         gp_score=jnp.where(gp_on, jnp.abs(r_gp), 0.0),
-        repr_valid=jnp.zeros((L,), jnp.int32).at[lm_idx].add(repr_ok.astype(jnp.int32)) > 0,
-        depth_valid=jnp.zeros((L,), jnp.int32).at[lm_idx].add(depth_ok.astype(jnp.int32)) > 0,
+        repr_valid=jnp.any(repr_ok, axis=(1, 2)),
+        depth_valid=jnp.any(depth_ok, axis=(1, 2)),
         gp_valid=gp_on,
         n_depth=jnp.sum(depth_ok.astype(jnp.int32)),
         n_gp=jnp.sum(gp_on.astype(jnp.int32)),
@@ -291,54 +313,12 @@ def compute_cost(window: Window, sel: Selection, rig, cfg,
                  pose_only: bool = False, speed_reg=None) -> jnp.ndarray:
     """Robust cost only — no jacobians. Used for LM accept/reject so the
     compiled graph stays ~9× smaller than a full assemble per candidate."""
-    K, L, C = window.K, window.L, window.C
-    dtype = window.poses.dtype
-    f = rig.focal.astype(dtype)
-    pp = rig.principal.astype(dtype)
-    Tcv = rig.T_cam_veh.astype(dtype)
-    robust_cfg = cfg.robust
-    reg_cfg = cfg.regularization
-
-    N = L * K * C
-    lm_idx = jnp.arange(N, dtype=jnp.int32) // (K * C)
-    kf_idx = (jnp.arange(N, dtype=jnp.int32) // C) % K
-    cam_idx = jnp.arange(N, dtype=jnp.int32) % C
-    uvd = window.obs.reshape(N, 3)
-    obs_ok = window.obs_mask.reshape(N)
-    lm_active = window.lm_valid & sel.lm_selected
-    obs_ok = obs_ok & lm_active[lm_idx] & window.kf_valid[kf_idx]
-
-    r_obs, proj_ok = jax.vmap(
-        lambda pose, lm, uvd1, f1, pp1, tcv1: _obs_residual(
-            jnp.zeros(6, dtype), jnp.zeros(3, dtype), pose, lm, uvd1, f1, pp1,
-            tcv1, compensate_rotation=compensate_rotation)
-    )(window.poses[kf_idx], window.lm_pos[lm_idx], uvd, f[cam_idx], pp[cam_idx],
-      Tcv[cam_idx])
-    repr_ok = obs_ok & proj_ok
-    depth_ok = obs_ok & (uvd[:, 2] > 0) & window.lm_has_depth[lm_idx]
-    s_repr = jnp.sum(r_obs[:, :2] ** 2, axis=-1)
-    s_depth = r_obs[:, 2] ** 2
-    w_lm = window.lm_weight[lm_idx]
-    a2r = robust_cfg.reprojection_thres ** 2
-    a2d = robust_cfg.depth_thres ** 2
-    cost = 0.5 * jnp.sum(jnp.where(repr_ok, w_lm * a2r * jnp.log1p(s_repr / a2r), 0.0)) \
-        + 0.5 * jnp.sum(jnp.where(depth_ok, w_lm * a2d * jnp.log1p(s_depth / a2d), 0.0))
-
-    # gp height
-    gp_kf = sel.gp_kf
-    gp_on = lm_active & window.lm_is_gp & (sel.gp_weight > 0) & window.kf_valid[gp_kf]
-    r_gp = jax.vmap(_gp_residual)(
-        jnp.zeros((L, 6), dtype), jnp.zeros((L, 4), dtype), jnp.zeros((L, 3), dtype),
-        window.poses[gp_kf], window.planes[gp_kf], window.lm_pos)[:, 0]
-    s_gp = r_gp ** 2
-    hd = reg_cfg.gp_height_huber_delta
-    rho_gp = jnp.where(s_gp <= hd * hd, s_gp,
-                       2.0 * hd * jnp.sqrt(jnp.maximum(s_gp, 1e-20)) - hd * hd)
-    cost = cost + 0.5 * jnp.sum(jnp.where(gp_on, sel.gp_weight * rho_gp, 0.0))
-
-    # regularizers (values only)
+    _, _, _, _, _, _, cost = _obs_system(window, sel, rig, cfg,
+                                         compensate_rotation,
+                                         with_jacobians=False)
+    _, _, _, gp_cost, _, _ = _gp_system(window, sel, cfg, with_jacobians=False)
     reg_r, reg_w = _regularizer_values(window, sel, cfg, speed_reg, pose_only)
-    return cost + 0.5 * jnp.sum(reg_w * reg_r * reg_r)
+    return cost + gp_cost + 0.5 * jnp.sum(reg_w * reg_r * reg_r)
 
 
 def residual_stats(window: Window, sel: Selection, rig, cfg,
@@ -346,44 +326,17 @@ def residual_stats(window: Window, sel: Selection, rig, cfg,
     """Loss-free per-landmark residual scores for trimming — forward pass
     only (``calculateResiduals``/``getMaximumResidual``,
     robust_solving.cpp:16-91 evaluate without loss)."""
-    K, L, C = window.K, window.L, window.C
-    dtype = window.poses.dtype
-    f = rig.focal.astype(dtype)
-    pp = rig.principal.astype(dtype)
-    Tcv = rig.T_cam_veh.astype(dtype)
-
-    N = L * K * C
-    lm_idx = jnp.arange(N, dtype=jnp.int32) // (K * C)
-    kf_idx = (jnp.arange(N, dtype=jnp.int32) // C) % K
-    cam_idx = jnp.arange(N, dtype=jnp.int32) % C
-    uvd = window.obs.reshape(N, 3)
-    obs_ok = window.obs_mask.reshape(N)
-    lm_active = window.lm_valid & sel.lm_selected
-    obs_ok = obs_ok & lm_active[lm_idx] & window.kf_valid[kf_idx]
-
-    r_obs, proj_ok = jax.vmap(
-        lambda pose, lm, uvd1, f1, pp1, tcv1: _obs_residual(
-            jnp.zeros(6, dtype), jnp.zeros(3, dtype), pose, lm, uvd1, f1, pp1,
-            tcv1, compensate_rotation=compensate_rotation)
-    )(window.poses[kf_idx], window.lm_pos[lm_idx], uvd, f[cam_idx], pp[cam_idx],
-      Tcv[cam_idx])
-    repr_ok = obs_ok & proj_ok
-    depth_ok = obs_ok & (uvd[:, 2] > 0) & window.lm_has_depth[lm_idx]
-    s_repr = jnp.sqrt(jnp.sum(r_obs[:, :2] ** 2, axis=-1))
-    s_depth = jnp.abs(r_obs[:, 2])
-
-    gp_kf = sel.gp_kf
-    gp_on = lm_active & window.lm_is_gp & (sel.gp_weight > 0) & window.kf_valid[gp_kf]
-    r_gp = jax.vmap(_gp_residual)(
-        jnp.zeros((L, 6), dtype), jnp.zeros((L, 4), dtype), jnp.zeros((L, 3), dtype),
-        window.poses[gp_kf], window.planes[gp_kf], window.lm_pos)[:, 0]
-
+    r_obs, repr_ok, depth_ok, _, _, _, _ = _obs_system(
+        window, sel, rig, cfg, compensate_rotation, with_jacobians=False)
+    r_gp, _, gp_on, _, _, _ = _gp_system(window, sel, cfg, with_jacobians=False)
+    s_repr = jnp.linalg.norm(r_obs[..., :2], axis=-1)
+    s_depth = jnp.abs(r_obs[..., 2])
     return ResidualStats(
-        repr_score=jnp.zeros((L,), dtype).at[lm_idx].max(jnp.where(repr_ok, s_repr, 0.0)),
-        depth_score=jnp.zeros((L,), dtype).at[lm_idx].max(jnp.where(depth_ok, s_depth, 0.0)),
+        repr_score=jnp.max(jnp.where(repr_ok, s_repr, 0.0), axis=(1, 2)),
+        depth_score=jnp.max(jnp.where(depth_ok, s_depth, 0.0), axis=(1, 2)),
         gp_score=jnp.where(gp_on, jnp.abs(r_gp), 0.0),
-        repr_valid=jnp.zeros((L,), jnp.int32).at[lm_idx].add(repr_ok.astype(jnp.int32)) > 0,
-        depth_valid=jnp.zeros((L,), jnp.int32).at[lm_idx].add(depth_ok.astype(jnp.int32)) > 0,
+        repr_valid=jnp.any(repr_ok, axis=(1, 2)),
+        depth_valid=jnp.any(depth_ok, axis=(1, 2)),
         gp_valid=gp_on,
         n_depth=jnp.sum(depth_ok.astype(jnp.int32)),
         n_gp=jnp.sum(gp_on.astype(jnp.int32)),

@@ -456,8 +456,16 @@ class BundleAdjuster:
         residuals, constant-velocity regularizer when recent rotation is
         small (weight 1−rot/0.03), quantile trimming, landmarks fixed,
         ≤4 LM iterations (reference :820-888)."""
-        if len(self._kf_order) < 2 or self._last_selection is None:
+        if len(self._kf_order) < 2:
             return np.asarray(pose_prior)
+        if self._last_selection is None:
+            # before the first windowed solve, correct against the full
+            # landmark map (depth-backprojected landmarks are metric from
+            # frame 0 — this locks the prior's scale early, the role
+            # adjustPoseOnly plays in the reference ingest path :201-211)
+            selection = self._lm_valid.copy()
+        else:
+            selection = self._last_selection
         # gather candidate-frame measurements aligned to landmark slots
         obs = np.zeros((self.L, self.C, 3))
         obs[..., 2] = -1.0
@@ -468,7 +476,7 @@ class BundleAdjuster:
             if slot is not None:
                 obs[slot, 0] = m
                 mask[slot, 0] = True
-        lm_mask = self._last_selection & self._lm_valid & np.any(mask, -1)
+        lm_mask = selection & self._lm_valid & np.any(mask, -1)
 
         # constant-velocity regularizer from the two newest keyframes
         speed_reg = None
