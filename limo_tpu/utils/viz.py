@@ -1,0 +1,117 @@
+"""Visualization / publishing exporters — the offline equivalents of the
+reference's ROS publishers (``publish_helpers.hpp``: landmark cloud colored
+by selection/category/depth/gp, full+active paths, plane markers) and the
+``pointcloud plotting`` map accumulator.
+
+Outputs are PLY point clouds / JSON paths that any viewer (meshlab, Open3D,
+rerun) can load — no ROS.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional
+
+import numpy as np
+
+# category colors mirroring publishLandmarks (publish_helpers.hpp:100-188):
+# near/middle/far/gp/depth get distinct colors
+CAT_COLORS = {
+    -1: (128, 128, 128),   # unselected — gray
+    0: (0, 255, 0),        # near — green
+    1: (255, 165, 0),      # middle — orange
+    2: (255, 0, 0),        # far — red
+}
+GP_COLOR = (0, 128, 255)
+DEPTH_COLOR = (255, 255, 0)
+
+
+def write_ply(path: str, points: np.ndarray,
+              colors: Optional[np.ndarray] = None) -> None:
+    n = points.shape[0]
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {n}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        if colors is not None:
+            f.write("property uchar red\nproperty uchar green\nproperty uchar blue\n")
+        f.write("end_header\n")
+        for i in range(n):
+            row = f"{points[i, 0]:.4f} {points[i, 1]:.4f} {points[i, 2]:.4f}"
+            if colors is not None:
+                row += f" {int(colors[i, 0])} {int(colors[i, 1])} {int(colors[i, 2])}"
+            f.write(row + "\n")
+
+
+def export_landmarks(ba, path: str, categories: Optional[np.ndarray] = None
+                     ) -> int:
+    """Landmark cloud colored by category / gp / depth
+    (publishLandmarks equivalent). Returns point count."""
+    known = ba._lm_valid & ba._lm_known
+    idx = np.flatnonzero(known)
+    pts = ba._lm_pos[idx]
+    cols = np.zeros((idx.size, 3), np.int32)
+    for r, i in enumerate(idx):
+        if ba._lm_is_gp[i]:
+            cols[r] = GP_COLOR
+        elif ba._lm_has_depth[i]:
+            cols[r] = DEPTH_COLOR
+        elif categories is not None:
+            cols[r] = CAT_COLORS.get(int(categories[i]), CAT_COLORS[-1])
+        else:
+            cols[r] = CAT_COLORS[-1]
+    write_ply(path, pts, cols)
+    return idx.size
+
+
+def export_paths(ba, path: str) -> None:
+    """Full + active trajectory (publishPaths equivalent: poses inverted to
+    origin ← keyframe)."""
+    import jax.numpy as jnp
+
+    from ..geometry import pose as pose_ops
+
+    def inv(p):
+        return np.asarray(pose_ops.inverse(jnp.asarray(p)))
+
+    full = [{"stamp": float(st), "position": inv(p)[4:].tolist()}
+            for st, p in sorted(ba._archive.items())]
+    active = [{"stamp": float(ba._stamps[s]), "position": inv(ba._poses[s])[4:].tolist()}
+              for s in ba._kf_order]
+    with open(path, "w") as f:
+        json.dump({"full": full + active, "active": active}, f)
+
+
+def export_planes(ba, path: str) -> None:
+    """Per-keyframe local groundplane markers (publishPlanes equivalent)."""
+    planes = [{"stamp": float(ba._stamps[s]),
+               "normal": ba._planes[s][:3].tolist(),
+               "distance": float(ba._planes[s][3])}
+              for s in ba._kf_order if ba._plane_valid[s]]
+    with open(path, "w") as f:
+        json.dump(planes, f)
+
+
+def accumulate_map(poses_kitti: np.ndarray, clouds, T_cam_sensor: np.ndarray,
+                   out_ply: str, voxel: float = 0.5, max_pts: int = 2_000_000
+                   ) -> int:
+    """Accumulate sensor clouds along an estimated trajectory into one global
+    map — the ``pointcloud plotting/accumulate_lidar_pcl_from_trajectory_
+    estimate.py`` equivalent (each scan transformed by pose · T_cam_sensor).
+
+    clouds: iterable of [N,3] arrays aligned with poses. Voxel-dedups."""
+    seen = set()
+    pts_out = []
+    for pose, cloud in zip(poses_kitti, clouds):
+        T = pose @ T_cam_sensor
+        p = cloud[:, :3] @ T[:3, :3].T + T[:3, 3]
+        keys = np.floor(p / voxel).astype(np.int64)
+        for k, q in zip(map(tuple, keys), p):
+            if k not in seen:
+                seen.add(k)
+                pts_out.append(q)
+            if len(pts_out) >= max_pts:
+                break
+    arr = np.asarray(pts_out) if pts_out else np.zeros((0, 3))
+    write_ply(out_ply, arr)
+    return arr.shape[0]

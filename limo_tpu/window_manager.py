@@ -94,6 +94,7 @@ class BundleAdjuster:
         self._lm_has_depth = np.zeros(self.L, bool)
         self._lm_is_gp = np.zeros(self.L, bool)
         self._lm_id = np.full(self.L, -1, np.int64)
+        self._lm_known = np.zeros(self.L, bool)   # position initialized
         self._lm_outlier = np.zeros(self.L, bool)  # label/flag-based rejects
         self._obs = np.zeros((self.L, self.K, self.C, 3))
         self._obs[..., 2] = -1.0
@@ -149,6 +150,7 @@ class BundleAdjuster:
         s = int(free[0])
         self._lm_slot[lm_id] = s
         self._lm_valid[s] = True
+        self._lm_known[s] = False
         self._lm_id[s] = lm_id
         self._lm_weight[s] = 1.0
         self._lm_has_depth[s] = False
@@ -159,6 +161,7 @@ class BundleAdjuster:
     def _free_lm_slot(self, slot: int):
         lm_id = self._lm_id[slot]
         self._lm_valid[slot] = False
+        self._lm_known[slot] = False
         self._lm_id[slot] = -1
         self._obs_mask[slot, :, :] = False
         self._lm_slot.pop(int(lm_id), None)
@@ -168,10 +171,16 @@ class BundleAdjuster:
     # ------------------------------------------------------------------
 
     def push(self, stamp: float, tracklets: Tracklets, pose: np.ndarray,
-             fixation: int = FIX_NONE, plane: Optional[np.ndarray] = None):
+             fixation: int = FIX_NONE, plane: Optional[np.ndarray] = None,
+             track_camera: Optional[Dict[int, int]] = None):
         """Add a keyframe: store pose, assign measurements from tracklets at
         ``stamp``, initialize unknown landmarks by depth-backprojection or
-        midpoint triangulation."""
+        midpoint triangulation.
+
+        track_camera: optional global-track-id → camera-index routing for
+        multi-camera rigs (the reference's landmark_to_cameras lookup,
+        keyframe.cpp:43-59; tracks observed by one camera each, as in the
+        reference's multi-cam tests)."""
         s = self._alloc_kf_slot()
         self._kf_order.append(s)
         self._stamps[s] = stamp
@@ -190,22 +199,30 @@ class BundleAdjuster:
         f = np.asarray(self.rig.focal)
         pp = np.asarray(self.rig.principal)
         tcv = np.asarray(self.rig.T_cam_veh, np.float64)
-        cam = 0  # single-camera ingest path (multi-cam via push_multicam)
         new_ids = []
+        cam_of = {}
         for tid, m in zip(ids, uvd):
+            cam = track_camera.get(int(tid), 0) if track_camera else 0
+            if cam >= self.C:
+                continue
             slot = self._lm_slot.get(int(tid))
             if slot is None:
                 slot = self._alloc_lm_slot(int(tid))
                 if slot is None:
                     continue  # capacity full — skip (selector caps anyway)
                 new_ids.append((int(tid), slot))
+            cam_of[int(tid)] = cam
             self._obs[slot, s, cam] = m
             self._obs_mask[slot, s, cam] = True
 
-        # initialize positions of landmarks new to the map
-        T_origin_cam = _np_pose_inv(np.asarray(
-            pose_np.compose(jnp.asarray(tcv[cam]), jnp.asarray(self._poses[s]))))
+        # initialize positions of landmarks new to the map; landmarks that
+        # cannot yet be placed stay position-unknown and are retried on the
+        # next push (reference push :310-314: calculateLandmark failure →
+        # continue; the landmark is re-attempted while measurements accrue)
         for tid, slot in new_ids:
+            cam = cam_of[tid]
+            T_origin_cam = _np_pose_inv(np.asarray(pose_np.compose(
+                jnp.asarray(tcv[cam]), jnp.asarray(self._poses[s]))))
             u, v, d = self._obs[slot, s, cam]
             if d >= 0:
                 # containsDepth path (:37-48): backproject at measured depth
@@ -213,17 +230,8 @@ class BundleAdjuster:
                                   (v - pp[cam, 1]) / f[cam] * d, d])
                 self._lm_pos[slot] = _np_pose_apply(T_origin_cam, p_cam)
                 self._lm_has_depth[slot] = True
-            else:
-                p = self._triangulate_from_window(slot)
-                if p is not None:
-                    self._lm_pos[slot] = p
-                else:
-                    # fall back: place along the ray at prior depth
-                    ray = np.array([(u - pp[cam, 0]) / f[cam],
-                                    (v - pp[cam, 1]) / f[cam], 1.0])
-                    ray /= np.linalg.norm(ray)
-                    self._lm_pos[slot] = _np_pose_apply(
-                        T_origin_cam, ray * self.cfg.prior.default_speed)
+                self._lm_known[slot] = True
+        self._retry_triangulation()
         # any landmark with a depth measurement anywhere keeps the flag
         if ids.size:
             has_d = uvd[:, 2] >= 0
@@ -232,6 +240,15 @@ class BundleAdjuster:
                 if slot is not None and hd:
                     self._lm_has_depth[slot] = True
         return s
+
+    def _retry_triangulation(self) -> None:
+        """Attempt midpoint triangulation for every allocated landmark whose
+        position is still unknown (needs ≥2 observing keyframes)."""
+        for slot in np.flatnonzero(self._lm_valid & ~self._lm_known):
+            p = self._triangulate_from_window(int(slot))
+            if p is not None:
+                self._lm_pos[slot] = p
+                self._lm_known[slot] = True
 
     def _triangulate_from_window(self, slot: int) -> Optional[np.ndarray]:
         """Midpoint triangulation from all active-keyframe observations
@@ -337,7 +354,7 @@ class BundleAdjuster:
             planes=jnp.asarray(self._planes, dt),
             plane_valid=jnp.asarray(self._plane_valid),
             lm_pos=jnp.asarray(self._lm_pos, dt),
-            lm_valid=jnp.asarray(self._lm_valid),
+            lm_valid=jnp.asarray(self._lm_valid & self._lm_known),
             lm_weight=jnp.asarray(self._lm_weight, dt),
             lm_has_depth=jnp.asarray(self._lm_has_depth),
             lm_is_gp=jnp.asarray(self._lm_is_gp),
@@ -353,7 +370,8 @@ class BundleAdjuster:
         act = self._kf_valid
         self._poses[act] = poses[act]
         self._planes[act] = planes[act]
-        self._lm_pos[self._lm_valid] = lm_pos[self._lm_valid]
+        known = self._lm_valid & self._lm_known
+        self._lm_pos[known] = lm_pos[known]
 
     # ------------------------------------------------------------------
     # solve — reference :629-767 (+ §3.2 call stack)
