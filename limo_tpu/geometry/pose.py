@@ -73,6 +73,27 @@ def boxplus(p, delta):
     return make(q, t)
 
 
+def boxplus_circular_2d(p, delta):
+    """⊞ with 2-dof planar circular-arc tangent [yaw, arc_length].
+
+    Mirrors the reference's ``CircularMotionPlus2d``
+    (local_parameterizations.hpp:170-227): the delta pose translates by the
+    chord of a circle segment (dx = r·sin(yaw), dy = r·(1−cos yaw), r =
+    arc/yaw; straight-line fallback below 1e-3 rad) and rotates by yaw
+    around z, then left-composes: p' = delta_pose ∘ p."""
+    yaw = delta[..., 0]
+    arc = delta[..., 1]
+    small = jnp.abs(yaw) < 1e-3
+    safe_yaw = jnp.where(small, 1.0, yaw)
+    r = arc / safe_yaw
+    dx = jnp.where(small, arc, r * jnp.sin(yaw))
+    dy = jnp.where(small, 0.0, r * (1.0 - jnp.cos(yaw)))
+    zero = jnp.zeros_like(yaw)
+    q = jnp.stack([jnp.cos(yaw / 2), zero, zero, jnp.sin(yaw / 2)], -1)
+    t = jnp.stack([dx, dy, zero], -1)
+    return compose(make(q, t), p)
+
+
 def normalize(p):
     return make(qnormalize(p[..., :4]), p[..., 4:])
 

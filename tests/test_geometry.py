@@ -177,3 +177,40 @@ class TestCameraRig:
         rig = CameraRig.single(600.0, 300.0, 200.0)
         assert rig.num_cameras == 1
         assert rig.T_cam_veh.shape == (1, 7)
+
+
+class TestCircularMotion:
+    """Mirror of the CircularMotion2d ⊞ test
+    (keyframe_bundle_adjustment.cpp:1396-1425)."""
+
+    def test_straight_line(self):
+        p = pose_ops.identity(jnp.float64)
+        out = pose_ops.boxplus_circular_2d(p, jnp.array([0.0, 2.0]))
+        np.testing.assert_allclose(pose_ops.translation(out), [2.0, 0.0, 0.0],
+                                   atol=1e-12)
+        np.testing.assert_allclose(pose_ops.rotation(out), [1, 0, 0, 0], atol=1e-12)
+
+    def test_quarter_circle(self):
+        # yaw = pi/2, arc = pi/2 * r with r=2 → chord endpoint (2, 2)
+        p = pose_ops.identity(jnp.float64)
+        yaw = np.pi / 2
+        arc = yaw * 2.0
+        out = pose_ops.boxplus_circular_2d(p, jnp.array([yaw, arc]))
+        np.testing.assert_allclose(pose_ops.translation(out), [2.0, 2.0, 0.0],
+                                   atol=1e-9)
+        angle = quat.qangle(pose_ops.rotation(out),
+                            quat.qfrom_axis_angle(jnp.array([0.0, 0, 1.0]),
+                                                  jnp.asarray(yaw)))
+        assert float(angle) < 1e-9
+
+    def test_left_composition(self, rng):
+        # p' = delta ∘ p — applying to a point matches manual composition
+        q = rand_quat(rng)
+        p = jnp.concatenate([q, jnp.asarray(rng.normal(size=3))])
+        d = jnp.array([0.3, 1.5])
+        out = pose_ops.boxplus_circular_2d(p, d)
+        x = jnp.asarray(rng.normal(size=3))
+        delta_pose = pose_ops.boxplus_circular_2d(pose_ops.identity(jnp.float64), d)
+        np.testing.assert_allclose(
+            pose_ops.apply(out, x),
+            pose_ops.apply(delta_pose, pose_ops.apply(p, x)), atol=1e-9)

@@ -1,0 +1,88 @@
+"""The fused Pallas assembly kernel must reproduce the einsum path exactly
+(same residuals, IRLS weights, and reduced blocks). Runs in interpreter mode
+on CPU; the compiled path is exercised on real TPU by bench/verify drives."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from limo_tpu.config import default_config
+from limo_tpu.geometry import quaternion as quat
+from limo_tpu.geometry.camera import CameraRig
+from limo_tpu.solver.ba_core import _obs_system
+from limo_tpu.solver.pallas_assemble import TL, assemble_obs_pallas
+from limo_tpu.state import Selection
+
+from test_solver import build_window, default_selection, make_gt_poses, make_landmarks
+
+F32 = jnp.float32
+
+
+def reference_blocks(window, sel, rig, cfg):
+    """Obs-only blocks via the production einsum path."""
+    r, repr_ok, depth_ok, row_w, Jp, Jl, cost = _obs_system(
+        window, sel, rig, cfg, compensate_rotation=False, with_jacobians=True)
+    Jp_w = Jp * row_w[..., None]
+    Jl_w = Jl * row_w[..., None]
+    U = jnp.einsum("lkcri,lkcrj->kij", Jp_w, Jp)
+    b_pose = -jnp.einsum("lkcri,lkcr->ki", Jp_w, r)
+    V = jnp.einsum("lkcri,lkcrj->lij", Jl_w, Jl)
+    b_l = -jnp.einsum("lkcri,lkcr->li", Jl_w, r)
+    W = jnp.einsum("lkcri,lkcrj->lkij", Jp_w, Jl)
+    return U, b_pose, V, b_l, W, cost
+
+
+def pallas_inputs(window, sel, rig, cfg):
+    K, L, C = window.K, window.L, window.C
+    obs_t = jnp.asarray(window.obs, F32).transpose(1, 2, 3, 0).reshape(K * C * 3, L)
+    lm_active = window.lm_valid & sel.lm_selected
+    base = (window.obs_mask & lm_active[:, None, None]
+            & window.kf_valid[None, :, None])
+    repr_base = jnp.asarray(base, F32).transpose(1, 2, 0).reshape(K * C, L)
+    depth_base = jnp.asarray(
+        base & (window.obs[..., 2] > 0) & window.lm_has_depth[:, None, None],
+        F32).transpose(1, 2, 0).reshape(K * C, L)
+    lm_t = jnp.asarray(window.lm_pos, F32).T
+    wlm = jnp.asarray(window.lm_weight, F32)[None, :]
+    R_kf = quat.qto_matrix(quat.qnormalize(jnp.asarray(window.poses[:, :4], F32)))
+    pose_mats = jnp.concatenate([R_kf.reshape(K, 9),
+                                 jnp.asarray(window.poses[:, 4:], F32)], -1)
+    R_cv = quat.qto_matrix(quat.qnormalize(jnp.asarray(rig.T_cam_veh[:, :4], F32)))
+    cam_mats = jnp.concatenate([
+        R_cv.reshape(C, 9), jnp.asarray(rig.T_cam_veh[:, 4:], F32),
+        jnp.asarray(rig.focal, F32)[:, None],
+        jnp.asarray(rig.principal, F32)], -1)
+    return obs_t, repr_base, depth_base, lm_t, wlm, pose_mats, cam_mats
+
+
+class TestPallasAssemble:
+    @pytest.mark.parametrize("with_depth", [False, True])
+    def test_matches_einsum_path(self, rng, with_depth):
+        gt = make_gt_poses()
+        lms = make_landmarks(rng, n=120)
+        w, cfg = build_window(gt, lms, RIG_F32 := None or __import__(
+            "test_solver").RIG, pose_noise=(0.01, 0.1), lm_noise=0.2,
+            pixel_noise=0.5, rng=rng, with_depth=with_depth)
+        rig = __import__("test_solver").RIG
+        # single precision window (kernel is f32)
+        w = w._replace(**{f: jnp.asarray(getattr(w, f), F32)
+                          for f in ("poses", "planes", "lm_pos", "lm_weight", "obs")})
+        rig32 = CameraRig(focal=jnp.asarray(rig.focal, F32),
+                          principal=jnp.asarray(rig.principal, F32),
+                          T_cam_veh=jnp.asarray(rig.T_cam_veh, F32))
+        sel = default_selection(w)
+        assert w.L % TL == 0
+
+        U_r, bp_r, V_r, bl_r, W_r, cost_r = reference_blocks(w, sel, rig32, cfg)
+        ins = pallas_inputs(w, sel, rig32, cfg)
+        out = assemble_obs_pallas(*ins, K=w.K, C=w.C,
+                                  a2r=cfg.robust.reprojection_thres ** 2,
+                                  a2d=cfg.robust.depth_thres ** 2,
+                                  interpret=True)
+
+        np.testing.assert_allclose(out.V, V_r, rtol=2e-4, atol=2e-3)
+        np.testing.assert_allclose(out.b_l, bl_r, rtol=2e-4, atol=2e-3)
+        np.testing.assert_allclose(out.W, W_r, rtol=2e-4, atol=2e-3)
+        np.testing.assert_allclose(out.U, U_r, rtol=2e-3, atol=0.1)
+        np.testing.assert_allclose(out.b_pose, bp_r, rtol=2e-3, atol=0.1)
+        np.testing.assert_allclose(float(out.cost), float(cost_r), rtol=1e-4)
