@@ -53,6 +53,10 @@ class SolverConfig:
     function_tolerance: float = 1e-6  # ceres default
     reset_trust_region_each_round: bool = True  # trust_region_relaxation_factor=-10
     diverged_retry_factor: int = 3    # retry with 3x iterations on divergence
+    use_pallas_assembly: bool = True   # fused Mosaic assembly kernel
+    # (auto-gated: TPU backend + f32 + no rotation compensation; 2.6x
+    # full-solve speedup vs the einsum assembly, poses equal to f32
+    # accumulation order)
 
 
 @dataclass(frozen=True)

@@ -242,22 +242,62 @@ def assemble(window: Window, sel: Selection, rig, cfg,
     robust_cfg = cfg.robust
     reg_cfg = cfg.regularization
 
-    # ---- per-observation residuals + jacobians on the dense [L,K,C] grid --
-    # The landmark-major layout makes every "segment sum" a plain axis
-    # reduction (einsum → MXU); no scatters on the hot path (scatters
-    # serialize badly on TPU).
-    r_obs, repr_ok, depth_ok, row_w, Jp_obs, Jl_obs, cost = _obs_system(
-        window, sel, rig, cfg, compensate_rotation, with_jacobians=True)
     lm_active = window.lm_valid & sel.lm_selected
+    use_pallas = (getattr(cfg.solver, "use_pallas_assembly", False)
+                  and not compensate_rotation and dtype == jnp.float32
+                  and jax.default_backend() == "tpu")
+    if use_pallas:
+        # fused Mosaic kernel: residuals + analytic jacobians in registers,
+        # only the reduced blocks hit HBM (solver/pallas_assemble.py)
+        from ..geometry.quaternion import qnormalize, qto_matrix
+        from .pallas_assemble import TL, assemble_obs_pallas
 
-    # ---- reduce into blocks (contractions over the obs axes) ------------
-    Jp_w = Jp_obs * row_w[..., None]     # [L,K,C,3,6] rows scaled by w
-    U_k = jnp.einsum("lkcri,lkcrj->kij", Jp_w, Jp_obs)
-    b_pose_k = -jnp.einsum("lkcri,lkcr->ki", Jp_w, r_obs)
-    Jl_w = Jl_obs * row_w[..., None]
-    V = jnp.einsum("lkcri,lkcrj->lij", Jl_w, Jl_obs)
-    b_l = -jnp.einsum("lkcri,lkcr->li", Jl_w, r_obs)
-    W_lk6 = jnp.einsum("lkcri,lkcrj->lkij", Jp_w, Jl_obs)   # [L,K,6,3]
+        assert L % TL == 0, (L, TL)
+        obs_t = window.obs.transpose(1, 2, 3, 0).reshape(K * C * 3, L)
+        base = (window.obs_mask & lm_active[:, None, None]
+                & window.kf_valid[None, :, None])
+        repr_base = base.astype(dtype).transpose(1, 2, 0).reshape(K * C, L)
+        depth_base = (base & (window.obs[..., 2] > 0)
+                      & window.lm_has_depth[:, None, None]
+                      ).astype(dtype).transpose(1, 2, 0).reshape(K * C, L)
+        lm_t = window.lm_pos.T
+        wlm = window.lm_weight[None, :]
+        R_kf = qto_matrix(qnormalize(window.poses[:, :4]))
+        pose_mats = jnp.concatenate([R_kf.reshape(K, 9),
+                                     window.poses[:, 4:]], -1)
+        R_cv = qto_matrix(qnormalize(Tcv[:, :4]))
+        cam_mats = jnp.concatenate([
+            R_cv.reshape(C, 9), Tcv[:, 4:], f[:, None], pp], -1)
+        blocks_obs = assemble_obs_pallas(
+            obs_t, repr_base, depth_base, lm_t, wlm, pose_mats, cam_mats,
+            K=K, C=C, a2r=float(robust_cfg.reprojection_thres) ** 2,
+            a2d=float(robust_cfg.depth_thres) ** 2)
+        U_k, b_pose_k = blocks_obs.U, blocks_obs.b_pose
+        V, b_l = blocks_obs.V, blocks_obs.b_l
+        W_lk6 = blocks_obs.W
+        cost = blocks_obs.cost
+        # stats come from the cheap forward pass when trimming needs them;
+        # here report residual-free placeholders consistent with masks
+        r_obs = jnp.zeros((L, K, C, 3), dtype)
+        repr_ok = base
+        depth_ok = (base & (window.obs[..., 2] > 0)
+                    & window.lm_has_depth[:, None, None])
+    else:
+        # ---- residuals + jacobians on the dense [L,K,C] grid -------------
+        # The landmark-major layout makes every "segment sum" a plain axis
+        # reduction (einsum → MXU); no scatters on the hot path (scatters
+        # serialize badly on TPU).
+        r_obs, repr_ok, depth_ok, row_w, Jp_obs, Jl_obs, cost = _obs_system(
+            window, sel, rig, cfg, compensate_rotation, with_jacobians=True)
+
+        # ---- reduce into blocks (contractions over the obs axes) ---------
+        Jp_w = Jp_obs * row_w[..., None]     # [L,K,C,3,6] rows scaled by w
+        U_k = jnp.einsum("lkcri,lkcrj->kij", Jp_w, Jp_obs)
+        b_pose_k = -jnp.einsum("lkcri,lkcr->ki", Jp_w, r_obs)
+        Jl_w = Jl_obs * row_w[..., None]
+        V = jnp.einsum("lkcri,lkcrj->lij", Jl_w, Jl_obs)
+        b_l = -jnp.einsum("lkcri,lkcr->li", Jl_w, r_obs)
+        W_lk6 = jnp.einsum("lkcri,lkcrj->lkij", Jp_w, Jl_obs)   # [L,K,6,3]
 
     # ---- groundplane height residuals (one per gp landmark) ------------
     r_gp, w_gp, gp_on, gp_cost, Jgp_kp, Jgp_lm = _gp_system(
