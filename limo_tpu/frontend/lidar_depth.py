@@ -256,6 +256,55 @@ def estimate_depths(cloud_cam, cloud_valid, uv_feat, focal, principal,
     return DepthResult(depth=depth, valid=valid, n_neighbors=n_neigh)
 
 
+@partial(jax.jit, static_argnames=("cfg", "image_size"))
+def ground_patch_depths(cloud_cam, gp_inlier, uv_feat, plane_normal,
+                        plane_dist, focal, principal, image_size,
+                        cfg: LidarDepthConfig = LidarDepthConfig()):
+    """M-estimator local ground patch depth — the reference's preferred road
+    path (``plane_estimator_use_mestimator: 1`` — "best method (evaluated
+    with kitti)"): fit a local plane through the RANSAC ground-plane inliers
+    near each feature, weighting points by inverse distance to the global
+    plane, and intersect the viewing ray.
+
+    cloud_cam [P,3] camera frame; gp_inlier [P] bool (RANSAC inliers,
+    transformed to camera frame); plane_normal/plane_dist: the global plane
+    in *camera* frame (n·p + d = 0). Returns (depth [F], valid [F]);
+    features without enough local inliers fall back to the global plane.
+    """
+    dtype = cloud_cam.dtype
+    pts, _, mask = gather_neighbors(cloud_cam, gp_inlier, uv_feat, focal,
+                                    principal, image_size, cfg)
+    # inverse-distance-to-plane weights (M-estimator style reweighting)
+    d_plane = jnp.abs(pts @ plane_normal + plane_dist)
+    w = jnp.where(mask, 1.0 / (d_plane + 0.05), 0.0)
+
+    # weighted local plane per feature
+    wsum = jnp.maximum(jnp.sum(w, -1, keepdims=True), 1e-9)
+    c = jnp.sum(pts * w[..., None], -2) / wsum
+    dp = (pts - c[:, None, :]) * w[..., None]
+    cov = jnp.einsum("fki,fkj->fij", dp, pts - c[:, None, :])
+    evals, evecs = jnp.linalg.eigh(cov)
+    n_loc = evecs[..., 0]
+    # orient like the global plane
+    flip = jnp.sign(jnp.sum(n_loc * plane_normal, -1, keepdims=True) + 1e-12)
+    n_loc = n_loc * flip
+    d_loc = -jnp.sum(n_loc * c, -1)
+
+    n_neigh = jnp.sum(mask, -1)
+    have_local = n_neigh >= cfg.min_neighbors
+    n_use = jnp.where(have_local[:, None], n_loc, plane_normal[None])
+    d_use = jnp.where(have_local, d_loc, plane_dist)
+
+    ray = jnp.concatenate([(uv_feat - principal) / focal,
+                           jnp.ones((uv_feat.shape[0], 1), dtype)], -1)
+    ray = ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
+    nr = jnp.sum(n_use * ray, -1)
+    t = -d_use / jnp.where(jnp.abs(nr) < 1e-9, 1e-9, nr)
+    depth = t * ray[:, 2]
+    valid = (t > 0) & (depth > 0) & (depth <= cfg.depth_max)
+    return jnp.where(valid, depth, -1.0), valid
+
+
 def ground_feature_depths(plane_normal, plane_dist, uv_feat, focal, principal,
                           max_depth: float = 100.0):
     """Depth of road features by intersecting the RANSAC ground plane

@@ -85,6 +85,13 @@ def make_sharded_solver(mesh: Mesh, rig, cfg, batched: bool = True):
     batched=True expects a leading batch axis on every Window/Selection leaf
     (one window per sequence) and maps solve_trimmed over it.
     """
+    import dataclasses
+
+    # the fused Pallas assembly kernel has no GSPMD partitioning rules yet —
+    # sharded solves use the einsum path (XLA partitions its contractions)
+    if getattr(cfg.solver, "use_pallas_assembly", False):
+        cfg = cfg.replace(solver=dataclasses.replace(
+            cfg.solver, use_pallas_assembly=False))
     w_sh = window_shardings(mesh, batched)
     s_sh = selection_shardings(mesh, batched)
 

@@ -18,7 +18,7 @@ import numpy as np
 from ..config import LimoConfig
 from ..frontend.groundplane import estimate_groundplane
 from ..frontend.lidar_depth import (LidarDepthConfig, estimate_depths,
-                                    ground_feature_depths)
+                                    ground_patch_depths)
 from ..frontend.semantics import attach_labels
 from ..frontend.tracker import FeatureTracker, TrackerConfig
 from ..geometry import pose as pose_ops
@@ -95,8 +95,9 @@ class LimoPipeline:
                 self._image_size, self.cfg.lidar)
             d = np.array(res.depth)
             if gp is not None and bool(gp.ok):
-                # road features: intersect the RANSAC plane (vehicle frame →
-                # camera frame plane transform)
+                # road features: M-estimator local patch over the RANSAC
+                # inliers (reference plane_estimator_use_mestimator, the
+                # evaluated-best method), global-plane fallback inside
                 n_veh = np.asarray(gp.normal)
                 d_veh = float(gp.distance)
                 R = np.asarray(pose_ops.to_matrix(
@@ -104,11 +105,14 @@ class LimoPipeline:
                 t = self._T_cam_veh[4:]
                 n_cam = R @ n_veh
                 d_cam = d_veh - float(n_cam @ t)
-                gpd, gok = ground_feature_depths(
-                    jnp.asarray(n_cam, self.dtype), jnp.asarray(d_cam, self.dtype),
+                gpd, gok = ground_patch_depths(
+                    jnp.asarray(cloud_cam, self.dtype),
+                    jnp.asarray(np.asarray(gp.inliers)),
                     jnp.asarray(uv, self.dtype),
+                    jnp.asarray(n_cam, self.dtype), jnp.asarray(d_cam, self.dtype),
                     jnp.asarray(float(self.rig.focal[0]), self.dtype),
-                    jnp.asarray(np.asarray(self.rig.principal[0]), self.dtype))
+                    jnp.asarray(np.asarray(self.rig.principal[0]), self.dtype),
+                    self._image_size, self.cfg.lidar)
                 gpd = np.asarray(gpd)
                 # fill features that lack object depth but hit the road plane
                 miss = (d < 0) & np.asarray(gok)

@@ -144,3 +144,48 @@ class TestGroundplaneDepth:
         assert bool(valid[0])
         # ray y-component: (300-200)/600 → y = z*1/6 = 1.65 → z = 9.9
         np.testing.assert_allclose(float(depth[0]), 9.9, rtol=1e-6)
+
+
+class TestGroundPatch:
+    def test_mestimator_local_patch(self, rng):
+        """Local weighted patch recovers a sloped road better than the global
+        plane (reference plane_estimator_use_mestimator)."""
+        from limo_tpu.frontend.lidar_depth import ground_patch_depths
+        # camera frame: y down. Road with slight slope: y = 1.65 + 0.01*z
+        n = 40000
+        u = rng.uniform(0, IMG[0], n)
+        v = rng.uniform(CY + 10, IMG[1], n)  # below horizon
+        # solve for z along each ray: y = z*(v-cy)/F == 1.65 + 0.01*z
+        a = (v - CY) / F
+        z = 1.65 / (a - 0.01)
+        y = 1.65 + 0.01 * z
+        x = (u - CX) / F * z
+        cloud = np.stack([x, y, z], -1)
+        ok = (z > 1) & (z < 90)
+        cloud = cloud[ok]
+        # global (unsloped) plane guess: n=(0,-1,0), d=1.65
+        n_glob = jnp.asarray([0.0, -1.0, 0.0], DT)
+        d_glob = jnp.asarray(1.65, DT)
+        uvf = jnp.asarray([[300.0, 260.0], [200.0, 300.0]], DT)
+        depth, valid = ground_patch_depths(
+            jnp.asarray(cloud, DT), jnp.ones(cloud.shape[0], bool), uvf,
+            n_glob, d_glob, jnp.asarray(F, DT), jnp.asarray([CX, CY], DT), IMG)
+        assert bool(valid.all())
+        # expected depth from the true sloped road
+        for i, (uu, vv) in enumerate([(300.0, 260.0), (200.0, 300.0)]):
+            aa = (vv - CY) / F
+            z_true = 1.65 / (aa - 0.01)
+            np.testing.assert_allclose(float(depth[i]), z_true, rtol=0.02)
+
+    def test_fallback_to_global_plane(self, rng):
+        from limo_tpu.frontend.lidar_depth import ground_patch_depths
+        # no inlier points at all → global plane intersection
+        cloud = jnp.asarray(rng.normal(size=(100, 3)) + np.array([0, -5, 10.0]), DT)
+        n_glob = jnp.asarray([0.0, -1.0, 0.0], DT)
+        d_glob = jnp.asarray(1.65, DT)
+        uvf = jnp.asarray([[300.0, 300.0]], DT)
+        depth, valid = ground_patch_depths(
+            cloud, jnp.zeros(100, bool), uvf, n_glob, d_glob,
+            jnp.asarray(F, DT), jnp.asarray([CX, CY], DT), IMG)
+        assert bool(valid[0])
+        np.testing.assert_allclose(float(depth[0]), 9.9, rtol=1e-5)
