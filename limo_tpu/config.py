@@ -54,6 +54,11 @@ class SolverConfig:
     reset_trust_region_each_round: bool = True  # trust_region_relaxation_factor=-10
     diverged_retry_factor: int = 3    # retry with 3x iterations on divergence
     use_pallas_assembly: bool = True   # fused Mosaic assembly kernel
+    # Motion parameterization (setParameterization variants,
+    # bundle_adjuster_keyframes.cpp:172-183): "full_dof" (production),
+    # "fix_rotation", or "circular_2d" (the "Bycicle" planar-arc model,
+    # CircularMotionPlus2d). Applied as a per-keyframe tangent basis.
+    motion_parameterization: str = "full_dof"
     # (auto-gated: TPU backend + f32 + no rotation compensation; 2.6x
     # full-solve speedup vs the einsum assembly, poses equal to f32
     # accumulation order)

@@ -55,6 +55,27 @@ class LidarDepthConfig:
     max_neighbors: int = 24           # static cap (rect holds ~8 KITTI points)
     grid_cell_px: int = 8             # bucket grid cell size
     points_per_cell: int = 16         # static per-cell cap
+    # ---- neighbor selection mode (neighbor_search_mode: 0 rect / 1 kd-tree
+    # radius search; the TPU build uses the same pixel-grid bucketing for
+    # both — a radius predicate replaces the kd-tree) -----------------------
+    neighbor_mode: str = "rect"       # "rect" | "radius"
+    radius_px: float = 10.0           # radiusSearch_radius (px, radius mode)
+    # ---- local patch estimator (do_use_triangle_size_maximation default;
+    # do_use_PCA alternative with eigenvalue-shape gates) -------------------
+    patch_mode: str = "triangle"      # "triangle" | "pca"
+    pca_abs_min: float = 0.005        # pca_treshold_3_abs_min
+    pca_rel_32_max: float = 15.0      # pca_treshold_3_2_rel_max
+    pca_rel_21_min: float = 1.5       # pca_treshold_2_1_rel_min
+    # ---- segmentation variant (do_use_histogram_segmentation default;
+    # do_use_depth_segmentation region growing, off upstream for runtime) ---
+    segmentation_mode: str = "histogram"  # "histogram" | "region_growing"
+    rg_thres_gradient_depth: float = 10.0   # depth_segmentation_max_treshold_gradient
+    rg_max_neighbor_dist: float = 0.2       # ..._max_neighbor_distance
+    rg_max_neighbor_dist_grad: float = 0.02  # ..._max_neighbor_distance_gradient
+    rg_max_seed_dist: float = 0.5           # ..._max_neighbor_to_seedpoint_distance
+    rg_max_seed_dist_grad: float = 0.05     # ..._to_seedpoint_distance_gradient
+    rg_max_points: int = 4                  # depth_segmentation_max_pointcount
+    rg_rounds: int = 4                      # static growth iterations
 
 
 class DepthResult(NamedTuple):
@@ -115,28 +136,43 @@ def gather_neighbors(cloud_cam, cloud_valid, uv_feat, focal, principal,
     fx = jnp.clip((uv_feat[:, 0] // cell).astype(jnp.int32), 0, gw - 1)
     fy = jnp.clip((uv_feat[:, 1] // cell).astype(jnp.int32), 0, gh - 1)
 
-    # 3x3 neighborhood cells (the rect 6×9 px fits within 3×3 cells of 8 px)
-    offs = jnp.array([(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1)],
-                     jnp.int32)
-    ncx = jnp.clip(fx[:, None] + offs[None, :, 0], 0, gw - 1)
-    ncy = jnp.clip(fy[:, None] + offs[None, :, 1], 0, gh - 1)
-    ncid = ncy * gw + ncx                                  # [F,9]
-    nstart = starts[ncid]                                  # [F,9]
-    ncount = counts[ncid]
+    # neighborhood ring sized so the search region always fits: rect 6×9 px
+    # needs 1 ring of 8 px cells; radius mode (10 px) needs 2
+    if cfg.neighbor_mode == "radius":
+        extent = cfg.radius_px
+    else:
+        extent = max(cfg.search_width, cfg.search_height) / 2.0
+    ring = max(1, int(np.ceil(extent / cell)))
+    rng = range(-ring, ring + 1)
+    offs = jnp.array([(dx, dy) for dy in rng for dx in rng], jnp.int32)
+    NC = offs.shape[0]
+    rx = fx[:, None] + offs[None, :, 0]
+    ry = fy[:, None] + offs[None, :, 1]
+    cell_in = (rx >= 0) & (rx < gw) & (ry >= 0) & (ry < gh)
+    ncx = jnp.clip(rx, 0, gw - 1)
+    ncy = jnp.clip(ry, 0, gh - 1)
+    ncid = ncy * gw + ncx                                  # [F,NC]
+    nstart = starts[ncid]                                  # [F,NC]
+    # out-of-image cells would alias their clipped neighbor (duplicating its
+    # points) — zero their counts instead
+    ncount = jnp.where(cell_in, counts[ncid], 0)
 
     slot = jnp.arange(PC, dtype=jnp.int32)
-    idx_sorted = nstart[..., None] + slot                  # [F,9,PC]
+    idx_sorted = nstart[..., None] + slot                  # [F,NC,PC]
     slot_ok = slot[None, None, :] < ncount[..., None]
     idx_sorted = jnp.clip(idx_sorted, 0, P - 1)
-    pt_idx = order[idx_sorted.reshape(F, -1)]              # [F,9*PC]
+    pt_idx = order[idx_sorted.reshape(F, -1)]              # [F,NC*PC]
     cand_ok = slot_ok.reshape(F, -1)
 
-    cand_uv = uv_pts[pt_idx]                               # [F,9PC,2]
+    cand_uv = uv_pts[pt_idx]                               # [F,NC*PC,2]
     cand_pts = cloud_cam[pt_idx]
     du = jnp.abs(cand_uv[..., 0] - uv_feat[:, None, 0])
     dv = jnp.abs(cand_uv[..., 1] - uv_feat[:, None, 1])
-    in_rect = (du <= cfg.search_width / 2) & (dv <= cfg.search_height / 2)
-    ok = cand_ok & in_rect
+    if cfg.neighbor_mode == "radius":
+        in_region = du * du + dv * dv <= cfg.radius_px ** 2
+    else:
+        in_region = (du <= cfg.search_width / 2) & (dv <= cfg.search_height / 2)
+    ok = cand_ok & in_region
 
     # keep the K nearest (pixel distance) valid candidates
     d2 = jnp.where(ok, du * du + dv * dv, jnp.inf)
@@ -204,6 +240,69 @@ def _triangle_patch(pts, seg, ray, cfg: LidarDepthConfig, triples):
     return n, sup, found & ortho
 
 
+def _pca_patch(pts, seg, ray, cfg: LidarDepthConfig):
+    """PCA local patch (``do_use_PCA`` variant): plane through the segment's
+    centroid with normal = smallest-eigenvalue direction, gated on the
+    eigenvalue shape (λ1 ≤ λ2 ≤ λ3): λ3 ≥ ``pca_treshold_3_abs_min``,
+    λ3 ≤ ``pca_treshold_3_2_rel_max``·λ2 (not a line), and
+    λ2 ≥ ``pca_treshold_2_1_rel_min``·λ1 (planar, not volumetric).
+
+    Returns (normal, support point, ok) like :func:`_triangle_patch`."""
+    segf = seg.astype(pts.dtype)
+    n_seg = jnp.sum(segf, -1)
+    denom = jnp.maximum(n_seg, 1.0)[..., None]
+    c = jnp.sum(pts * segf[..., None], -2) / denom
+    dp = (pts - c[..., None, :]) * segf[..., None]
+    cov = jnp.einsum("...ki,...kj->...ij", dp, dp) / denom[..., None]
+    evals, evecs = jnp.linalg.eigh(cov)          # ascending
+    n = evecs[..., 0]
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    l1, l2, l3 = evals[..., 0], evals[..., 1], evals[..., 2]
+    shape_ok = ((l3 >= cfg.pca_abs_min)
+                & (l3 <= cfg.pca_rel_32_max * jnp.maximum(l2, 1e-12))
+                & (l2 >= cfg.pca_rel_21_min * l1))
+    ortho = jnp.abs(jnp.sum(n * ray, -1)) >= cfg.viewray_ortho_thres
+    return n, c, (n_seg >= 3) & shape_ok & ortho
+
+
+def _region_grow_segment(pts, mask, uvs, uv_feat, cfg: LidarDepthConfig):
+    """Region-growing depth segmentation (``do_use_depth_segmentation``,
+    off by default upstream for runtime): seed at the neighbor closest to the
+    feature in the image plane, then grow the selection by 3D proximity with
+    depth-scaled thresholds ``thr(d) = base + max(d − gradient_depth, 0)·grad``
+    and cap at ``depth_segmentation_max_pointcount`` points nearest the seed.
+
+    The reference's per-lidar-row two-seed bookkeeping collapses here into a
+    single pixel-nearest seed — the row structure is KITTI-scanner-specific
+    and the growth thresholds dominate the selection. Returns (seg, found)."""
+    d2px = jnp.where(mask,
+                     jnp.sum((uvs - uv_feat[..., None, :]) ** 2, -1), jnp.inf)
+    seed = jnp.argmin(d2px, -1)
+    seed_pt = jnp.take_along_axis(pts, seed[..., None, None], -2)[..., 0, :]
+    depth = seed_pt[..., 2]
+    excess = jnp.maximum(depth - cfg.rg_thres_gradient_depth, 0.0)
+    thr_nb = cfg.rg_max_neighbor_dist + excess * cfg.rg_max_neighbor_dist_grad
+    thr_seed = cfg.rg_max_seed_dist + excess * cfg.rg_max_seed_dist_grad
+
+    dist_seed = jnp.linalg.norm(pts - seed_pt[..., None, :], axis=-1)
+    cand = mask & (dist_seed <= thr_seed[..., None])
+    K = pts.shape[-2]
+    sel = jax.nn.one_hot(seed, K, dtype=bool) & mask
+    pair = jnp.linalg.norm(pts[..., :, None, :] - pts[..., None, :, :],
+                           axis=-1)                        # [F,K,K]
+    near = pair <= thr_nb[..., None, None]
+    for _ in range(cfg.rg_rounds):
+        reachable = jnp.any(near & sel[..., None, :], -1)
+        sel = sel | (cand & reachable)
+    if cfg.rg_max_points > 0:
+        # keep the rg_max_points selected points nearest the seed
+        rank = jnp.sum(
+            (jnp.where(sel, dist_seed, jnp.inf)[..., None, :]
+             < jnp.where(sel, dist_seed, jnp.inf)[..., :, None]), -1)
+        sel = sel & (rank < cfg.rg_max_points)
+    return sel, jnp.any(sel, -1)
+
+
 @partial(jax.jit, static_argnames=("cfg", "image_size"))
 def estimate_depths(cloud_cam, cloud_valid, uv_feat, focal, principal,
                     image_size, cfg: LidarDepthConfig = LidarDepthConfig()
@@ -223,14 +322,20 @@ def estimate_depths(cloud_cam, cloud_valid, uv_feat, focal, principal,
     enough = n_neigh >= cfg.min_neighbors
 
     depths = jnp.where(mask, pts[..., 2], 0.0)
-    seg, seg_ok = _histogram_segment(depths, mask, cfg)
+    if cfg.segmentation_mode == "region_growing":
+        seg, seg_ok = _region_grow_segment(pts, mask, uvs, uv_feat, cfg)
+    else:
+        seg, seg_ok = _histogram_segment(depths, mask, cfg)
 
     # viewing ray per feature
     ray = jnp.concatenate([(uv_feat - principal) / focal,
                            jnp.ones((uv_feat.shape[0], 1), dtype)], -1)
     ray = ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
 
-    n, sup, tri_ok = _triangle_patch(pts, seg, ray, cfg, triples)
+    if cfg.patch_mode == "pca":
+        n, sup, tri_ok = _pca_patch(pts, seg, ray, cfg)
+    else:
+        n, sup, tri_ok = _triangle_patch(pts, seg, ray, cfg, triples)
 
     # ray ∩ plane: t = (n·sup)/(n·ray); depth = z of intersection
     nr = jnp.sum(n * ray, -1)

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from .quaternion import (
     qboxplus,
     qconj,
+    qfrom_axis_angle,
     qidentity,
     qmul,
     qnormalize,
@@ -92,6 +93,74 @@ def boxplus_circular_2d(p, delta):
     q = jnp.stack([jnp.cos(yaw / 2), zero, zero, jnp.sin(yaw / 2)], -1)
     t = jnp.stack([dx, dy, zero], -1)
     return compose(make(q, t), p)
+
+
+def boxplus_fix_scale_circular(p, delta, fix_value=1.0):
+    """⊞ with 3-dof euler tangent [pitch, yaw, roll] under fixed step length.
+
+    Mirrors the reference's ``FixScaleCircularMotionPlus``
+    (local_parameterizations.hpp:229-272), which works in camera coords
+    (z forward, x right): the pose advances a fixed arc ``fix_value`` along a
+    circle segment bent by ``yaw`` (rotation around the y axis) — forward step
+    ``dz = sinc(yaw)·fix``, lateral step ``dx = (1−cos yaw)/yaw·fix`` — and the
+    rotation delta (Rz(roll)·Ry(yaw)·Rx(pitch), the ceres euler convention) is
+    *right*-composed: ``q' = q ⊗ q_delta``."""
+    pitch, yaw, roll = delta[..., 0], delta[..., 1], delta[..., 2]
+    small = jnp.abs(yaw) < 1e-3
+    safe_yaw = jnp.where(small, 1.0, yaw)
+    dz = jnp.where(small, fix_value, jnp.sin(yaw) / safe_yaw * fix_value)
+    dx = jnp.where(small, 0.0, (1.0 - jnp.cos(yaw)) / safe_yaw * fix_value)
+    ex = jnp.zeros(delta.shape[:-1] + (3,), p.dtype).at[..., 0].set(1.0)
+    ey = jnp.zeros(delta.shape[:-1] + (3,), p.dtype).at[..., 1].set(1.0)
+    ez = jnp.zeros(delta.shape[:-1] + (3,), p.dtype).at[..., 2].set(1.0)
+    q_delta = qmul(qfrom_axis_angle(ez, roll),
+                   qmul(qfrom_axis_angle(ey, yaw), qfrom_axis_angle(ex, pitch)))
+    q = qmul(p[..., :4], q_delta)
+    zero = jnp.zeros_like(dx)
+    t = p[..., 4:] + jnp.stack([dx, zero, dz], -1)
+    return make(q, t)
+
+
+def tangent_basis(poses, mode):
+    """Per-keyframe 6-dof tangent-space basis for alternate motion
+    parameterizations (``setParameterization``,
+    bundle_adjuster_keyframes.cpp:172-183).
+
+    Returns ``(B [K,6,6], dim_mask [6])``: Gauss-Newton runs on the reduced
+    coordinates ``d`` with full-tangent step ``B @ d`` (columns beyond the
+    mode's dof are zeroed via ``dim_mask``). The bases equal the jacobian of
+    the corresponding reference retraction at delta=0, so first-order
+    behavior matches the Ceres local parameterizations exactly:
+
+    - ``full_dof``:      identity (ProductParameterization(Quaternion, Id3)).
+    - ``fix_rotation``:  identity basis, rotation dims masked out.
+    - ``circular_2d``:   2 dof [yaw, arc] (``CircularMotionPlus2d``,
+      local_parameterizations.hpp:170-227). Left-composition
+      ``p' = delta(yaw,arc) ∘ p`` linearizes to w = yaw·ẑ,
+      dt = arc·x̂ + yaw·(ẑ×t) in the keyframe frame.
+    """
+    K = poses.shape[0]
+    dtype = poses.dtype
+    eye = jnp.broadcast_to(jnp.eye(6, dtype=dtype), (K, 6, 6))
+    if mode == "full_dof":
+        return eye, jnp.ones((6,), dtype)
+    if mode == "fix_rotation":
+        return eye, jnp.array([0, 0, 0, 1, 1, 1], dtype)
+    if mode == "circular_2d":
+        t = poses[:, 4:]
+        zeros = jnp.zeros((K,), dtype)
+        ones = jnp.ones((K,), dtype)
+        halves = jnp.full((K,), 0.5, dtype)
+        # column 0: yaw — rotation about z (half-angle chart: qexp has
+        # |w| = θ/2, so dw/dyaw = ẑ/2) plus the induced translation ẑ×t
+        col_yaw = jnp.stack([zeros, zeros, halves, -t[:, 1], t[:, 0], zeros], -1)
+        # column 1: arc — forward translation along the keyframe x axis
+        col_arc = jnp.stack([zeros, zeros, zeros, ones, zeros, zeros], -1)
+        zero_col = jnp.zeros((K, 6), dtype)
+        B = jnp.stack([col_yaw, col_arc, zero_col, zero_col, zero_col,
+                       zero_col], -1)
+        return B, jnp.array([1, 1, 0, 0, 0, 0], dtype)
+    raise ValueError(f"unknown motion parameterization: {mode!r}")
 
 
 def normalize(p):

@@ -329,9 +329,32 @@ def assemble(window: Window, sel: Selection, rig, cfg,
     b_p = b_p - jnp.einsum("r,ri,r->i", reg_w, reg_J, reg_r)
     cost = cost + 0.5 * jnp.sum(reg_w * reg_r * reg_r)
 
+    # ---- alternate motion parameterization (tangent-basis projection) ---
+    # setParameterization variants (bundle_adjuster_keyframes.cpp:172-183):
+    # Gauss-Newton in the reduced coordinates d with step B@d is exactly the
+    # restricted parameterization to first order, so we project the assembled
+    # system once instead of re-deriving every jacobian.
+    mode = getattr(cfg.solver, "motion_parameterization", "full_dof")
+    if mode != "full_dof":
+        B, tangent_mask = pose_ops.tangent_basis(window.poses, mode)
+        T = jnp.concatenate([
+            jnp.concatenate([B, jnp.zeros((K, 6, PD - 6), dtype)], -1),
+            jnp.concatenate([
+                jnp.zeros((K, PD - 6, 6), dtype),
+                jnp.broadcast_to(jnp.eye(PD - 6, dtype=dtype),
+                                 (K, PD - 6, PD - 6))], -1),
+        ], axis=-2)                                            # [K,PD,PD]
+        H4 = H_pp.reshape(K, PD, K, PD)
+        H_pp = jnp.einsum("kai,kalb,lbj->kilj", T, H4, T).reshape(P, P)
+        b_p = jnp.einsum("kai,ka->ki", T, b_p.reshape(K, PD)).reshape(P)
+        W_full = jnp.einsum("kai,lkab->lkib", T,
+                            W_full.reshape(L, K, PD, 3)).reshape(L, P, 3)
+    else:
+        tangent_mask = jnp.ones((6,), dtype)
+
     # ---- gauge / fixation masks ---------------------------------------
     kf_free = window.kf_valid & (~window.fix_pose)
-    pose_dim_mask = jnp.repeat(kf_free, 6).reshape(K, 6)
+    pose_dim_mask = kf_free[:, None].astype(dtype) * tangent_mask[None, :]
     plane_free = window.plane_valid & window.kf_valid
     plane_dim_mask = jnp.concatenate(
         [jnp.repeat(plane_free, 3).reshape(K, 3),

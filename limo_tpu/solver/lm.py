@@ -86,10 +86,17 @@ def solve_normal_equations(eqs, lam):
     return delta_p, delta_l
 
 
-def apply_step(window: Window, delta_p, delta_l) -> Window:
+def apply_step(window: Window, delta_p, delta_l,
+               motion_parameterization: str = "full_dof") -> Window:
     K = window.K
     d = delta_p.reshape(K, PD)
-    new_poses = pose_ops.boxplus(window.poses, d[:, :6])
+    d6 = d[:, :6]
+    if motion_parameterization != "full_dof":
+        # reduced coordinates → full tangent via the per-keyframe basis
+        # (must match the projection applied in assemble)
+        B, _ = pose_ops.tangent_basis(window.poses, motion_parameterization)
+        d6 = jnp.einsum("kij,kj->ki", B, d6)
+    new_poses = pose_ops.boxplus(window.poses, d6)
     new_planes = plane_boxplus(window.planes, d[:, 6:])
     return window._replace(
         poses=pose_ops.normalize(new_poses),
@@ -132,7 +139,10 @@ def run_lm(window: Window, sel: Selection, rig, cfg, max_iters,
         # one full assembly for the step; candidate judged by cost only
         eqs, _ = get_eqs(s.window)
         delta_p, delta_l = solve_normal_equations(eqs, s.lam)
-        cand = apply_step(s.window, delta_p, delta_l)
+        cand = apply_step(
+            s.window, delta_p, delta_l,
+            motion_parameterization=getattr(
+                scfg, "motion_parameterization", "full_dof"))
         new_cost = get_cost(cand)
         finite = jnp.isfinite(new_cost)
         accept = finite & (new_cost < s.cost)

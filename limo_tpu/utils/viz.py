@@ -26,6 +26,34 @@ GP_COLOR = (0, 128, 255)
 DEPTH_COLOR = (255, 255, 0)
 
 
+def color_by_index_hsv(ids, num_colors: int = 16) -> np.ndarray:
+    """Deterministic per-id RGB colors — the reference's
+    ``get_color(ID, NumColors)`` (color_by_index_hsv.hpp:29-42): id 0 maps to
+    a fixed color, other ids to evenly spaced hues (OpenCV HSV: H ∈ [0,180),
+    S = V = 200) modulo ``num_colors``. Vectorized over an id array."""
+    ids = np.asarray(ids, np.int64)
+    mod = (ids - 1) % num_colors
+    h = mod * (180 // num_colors)          # OpenCV hue: degrees/2
+    s, v = 200 / 255.0, 200 / 255.0
+    # HSV→RGB (matplotlib-free): OpenCV hue*2 = degrees
+    hh = (h * 2.0) / 60.0
+    i = np.floor(hh).astype(np.int64) % 6
+    f = hh - np.floor(hh)
+    p = v * (1 - s)
+    q = v * (1 - s * f)
+    t = v * (1 - s * (1 - f))
+    vv = np.full_like(f, v)
+    pp = np.full_like(f, p)
+    r = np.choose(i, [vv, q, pp, pp, t, vv])
+    g = np.choose(i, [t, vv, vv, q, pp, pp])
+    b = np.choose(i, [pp, pp, t, vv, vv, q])
+    rgb = np.stack([r, g, b], -1)
+    out = np.clip(np.round(rgb * 255), 0, 255).astype(np.int32)
+    # id 0 sentinel: reference BGR(123,22,234) → RGB
+    out[ids == 0] = (234, 22, 123)
+    return out
+
+
 def write_ply(path: str, points: np.ndarray,
               colors: Optional[np.ndarray] = None) -> None:
     n = points.shape[0]

@@ -1,0 +1,66 @@
+"""Evaluation harness tests: the synthetic system gate (ATE/drift reporting,
+KITTI pose-file round trip) and the KITTI loader on generated fixtures."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from limo_tpu.io import kitti
+from limo_tpu.pipeline.evaluation import (SequenceReport,
+                                          evaluate_synthetic_sequence)
+
+
+class TestSyntheticEvaluation:
+    def test_lidar_sequence_report(self, tmp_path):
+        out = str(tmp_path / "00.txt")
+        rep = evaluate_synthetic_sequence(num_frames=30, seed=1,
+                                          with_depth=True, out_poses=out)
+        assert rep.n_frames == 30
+        assert rep.fps > 0
+        assert rep.ate < 1.0, rep.ate
+        # pose file round trip
+        poses = kitti.read_poses(out)
+        assert poses.shape == (30, 4, 4)
+        np.testing.assert_allclose(
+            poses[:, 3], np.tile([0.0, 0, 0, 1], (30, 1)), atol=1e-12)
+        # report serializes
+        d = json.loads(rep.to_json())
+        assert d["n_frames"] == 30
+
+    def test_mono_sequence(self):
+        rep = evaluate_synthetic_sequence(num_frames=25, seed=2,
+                                          with_depth=False)
+        assert rep.n_frames == 25
+        assert np.isfinite(rep.ate)
+
+
+class TestKittiIO:
+    def test_calib_times_velodyne(self, tmp_path, rng):
+        seq = tmp_path / "00"
+        (seq / "velodyne").mkdir(parents=True)
+        with open(seq / "calib.txt", "w") as f:
+            P = "7.18856e+02 0 6.071928e+02 0 0 7.18856e+02 1.852157e+02 0 0 0 1 0"
+            for k in ("P0", "P1", "P2", "P3"):
+                f.write(f"{k}: {P}\n")
+            f.write("Tr: 0 -1 0 0 0 0 -1 0 1 0 0 -0.1\n")
+        np.savetxt(seq / "times.txt", np.arange(5) * 0.1)
+        pts = rng.normal(size=(500, 4)).astype(np.float32)
+        pts.tofile(seq / "velodyne" / "000000.bin")
+
+        s = kitti.KittiSequence.open(str(seq))
+        assert len(s) == 5
+        assert s.calib.focal == pytest.approx(718.856)
+        np.testing.assert_allclose(s.calib.principal, [607.1928, 185.2157])
+        assert s.calib.Tr_cam_velo[0, 1] == -1
+        cloud = s.load_velodyne(0)
+        np.testing.assert_array_equal(cloud, pts)
+
+    def test_pose_write_read(self, tmp_path, rng):
+        mats = np.tile(np.eye(4), (7, 1, 1))
+        mats[:, :3, 3] = rng.normal(size=(7, 3))
+        p = str(tmp_path / "poses.txt")
+        kitti.write_poses(p, mats)
+        back = kitti.read_poses(p)
+        np.testing.assert_allclose(back, mats, atol=1e-8)

@@ -214,3 +214,83 @@ class TestCircularMotion:
         np.testing.assert_allclose(
             pose_ops.apply(out, x),
             pose_ops.apply(delta_pose, pose_ops.apply(p, x)), atol=1e-9)
+
+
+class TestFixScaleCircular:
+    """FixScaleCircularMotionPlus ⊞ (local_parameterizations.hpp:229-272):
+    fixed-arc-length step in camera coords (z forward), yaw = bend around y."""
+
+    def test_straight_ahead(self):
+        p = pose_ops.identity(jnp.float64)
+        out = pose_ops.boxplus_fix_scale_circular(
+            p, jnp.zeros(3, jnp.float64), fix_value=2.5)
+        np.testing.assert_allclose(pose_ops.translation(out), [0.0, 0.0, 2.5],
+                                   atol=1e-12)
+        np.testing.assert_allclose(pose_ops.rotation(out), [1, 0, 0, 0],
+                                   atol=1e-12)
+
+    def test_bent_arc(self):
+        # yaw=pi/2 with unit arc → quarter circle of radius 2/pi:
+        # dz = sin(yaw)/yaw, dx = (1-cos(yaw))/yaw
+        p = pose_ops.identity(jnp.float64)
+        yaw = np.pi / 2
+        out = pose_ops.boxplus_fix_scale_circular(
+            p, jnp.array([0.0, yaw, 0.0]), fix_value=1.0)
+        np.testing.assert_allclose(
+            pose_ops.translation(out),
+            [(1 - np.cos(yaw)) / yaw, 0.0, np.sin(yaw) / yaw], atol=1e-9)
+        angle = quat.qangle(pose_ops.rotation(out),
+                            quat.qfrom_axis_angle(jnp.array([0.0, 1.0, 0.0]),
+                                                  jnp.asarray(yaw)))
+        assert float(angle) < 1e-9
+
+    def test_rotation_right_composed(self, rng):
+        # q' = q ⊗ q_delta with q_delta = Rz(roll)·Ry(yaw)·Rx(pitch)
+        q = rand_quat(rng)
+        p = jnp.concatenate([q, jnp.asarray(rng.normal(size=3))])
+        d = jnp.array([0.1, 0.2, -0.3])
+        out = pose_ops.boxplus_fix_scale_circular(p, d, fix_value=0.0)
+        qd = quat.qmul(
+            quat.qfrom_axis_angle(jnp.array([0.0, 0, 1.0]), d[2]),
+            quat.qmul(
+                quat.qfrom_axis_angle(jnp.array([0.0, 1.0, 0]), d[1]),
+                quat.qfrom_axis_angle(jnp.array([1.0, 0, 0]), d[0])))
+        angle = quat.qangle(pose_ops.rotation(out), quat.qmul(q, qd))
+        assert float(angle) < 1e-9
+        # fix_value=0 ⇒ translation untouched
+        np.testing.assert_allclose(pose_ops.translation(out),
+                                   pose_ops.translation(p), atol=1e-12)
+
+
+class TestTangentBasis:
+    def test_full_dof_identity(self):
+        poses = jnp.tile(pose_ops.identity(jnp.float64), (3, 1))
+        B, mask = pose_ops.tangent_basis(poses, "full_dof")
+        np.testing.assert_allclose(np.asarray(B), np.broadcast_to(np.eye(6), (3, 6, 6)))
+        np.testing.assert_allclose(np.asarray(mask), 1.0)
+
+    def test_fix_rotation_masks_rot(self):
+        poses = jnp.tile(pose_ops.identity(jnp.float64), (2, 1))
+        B, mask = pose_ops.tangent_basis(poses, "fix_rotation")
+        np.testing.assert_allclose(np.asarray(mask), [0, 0, 0, 1, 1, 1])
+
+    def test_circular_matches_retraction_jacobian(self, rng):
+        """The circular_2d basis must equal d(boxplus_circular_2d)/d(delta)
+        at delta=0 pushed through our boxplus chart."""
+        import jax
+
+        q = rand_quat(rng)
+        p = jnp.concatenate([q, jnp.asarray(rng.normal(size=3))])
+
+        def retract_in_chart(d2):
+            # circular retraction expressed as a tangent in our boxplus chart:
+            # rotation tangent = log(q' ⊗ q⁻¹), translation tangent = t' − t
+            out = pose_ops.boxplus_circular_2d(p, d2)
+            w = quat.qlog(quat.qmul(out[:4], quat.qinv(p[:4])))
+            return jnp.concatenate([w, out[4:] - p[4:]])
+
+        J = jax.jacfwd(retract_in_chart)(jnp.zeros(2, jnp.float64))  # [6,2]
+        B, mask = pose_ops.tangent_basis(p[None], "circular_2d")
+        np.testing.assert_allclose(np.asarray(J), np.asarray(B[0, :, :2]),
+                                   atol=1e-9)
+        np.testing.assert_allclose(np.asarray(mask), [1, 1, 0, 0, 0, 0])

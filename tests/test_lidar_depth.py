@@ -189,3 +189,98 @@ class TestGroundPatch:
             jnp.asarray(F, DT), jnp.asarray([CX, CY], DT), IMG)
         assert bool(valid[0])
         np.testing.assert_allclose(float(depth[0]), 9.9, rtol=1e-5)
+
+
+class TestVariantModes:
+    """The off-by-default reference variants: kd-tree-style radius neighbor
+    search (neighbor_search_mode 1), PCA patch fit (do_use_PCA), and
+    region-growing depth segmentation (do_use_depth_segmentation)."""
+
+    def test_radius_neighbor_mode(self, rng):
+        cloud = jnp.asarray(make_wall_cloud(rng), DT)
+        uv = jnp.asarray([[300.0, 200.0], [80.0, 320.0]], DT)
+        cfg = LidarDepthConfig(neighbor_mode="radius", radius_px=10.0)
+        pts, uvs, mask = gather_neighbors(
+            cloud, jnp.ones(cloud.shape[0], bool), uv, jnp.asarray(F, DT),
+            jnp.asarray([CX, CY], DT), IMG, cfg)
+        for i in range(2):
+            m = np.asarray(mask[i])
+            assert m.sum() >= 3
+            d = np.linalg.norm(np.asarray(uvs[i])[m] - np.asarray(uv[i]), axis=-1)
+            assert (d <= cfg.radius_px + 1e-9).all()
+
+    def test_radius_wider_than_rect(self, rng):
+        # radius 10 px must reach points the 6x9 rectangle cannot
+        cloud = jnp.asarray(make_wall_cloud(rng, n=4000), DT)
+        uv = jnp.asarray(rng.uniform(100, 300, (10, 2)), DT)
+        args = (cloud, jnp.ones(cloud.shape[0], bool), uv, jnp.asarray(F, DT),
+                jnp.asarray([CX, CY], DT), IMG)
+        _, _, m_rect = gather_neighbors(*args, LidarDepthConfig())
+        _, _, m_rad = gather_neighbors(
+            *args, LidarDepthConfig(neighbor_mode="radius", radius_px=10.0))
+        assert int(m_rad.sum()) >= int(m_rect.sum())
+
+    def test_pca_patch_wall(self, rng):
+        cloud = jnp.asarray(make_wall_cloud(rng, z=15.0, n=60000), DT)
+        uv = jnp.asarray(rng.uniform(60, 340, (20, 2)), DT)
+        cfg = LidarDepthConfig(patch_mode="pca", neighbor_mode="radius",
+                               radius_px=10.0, max_neighbors=32)
+        res = estimate_depths(cloud, jnp.ones(cloud.shape[0], bool), uv,
+                              jnp.asarray(F, DT), jnp.asarray([CX, CY], DT),
+                              IMG, cfg)
+        ok = np.asarray(res.valid)
+        assert ok.sum() >= 12, ok.sum()
+        np.testing.assert_allclose(np.asarray(res.depth)[ok], 15.0, atol=0.1)
+
+    def test_pca_rejects_line(self, rng):
+        # colinear points (single scanline) must fail the eigenvalue gates
+        n = 60
+        u = np.linspace(195.0, 205.0, n)
+        v = np.full(n, 150.0)
+        z = np.full(n, 10.0)
+        line = np.stack([(u - CX) / F * z, (v - CY) / F * z, z], -1)
+        cfg = LidarDepthConfig(patch_mode="pca")
+        res = estimate_depths(jnp.asarray(line, DT), jnp.ones(n, bool),
+                              jnp.asarray([[200.0, 150.0]], DT),
+                              jnp.asarray(F, DT), jnp.asarray([CX, CY], DT),
+                              IMG, cfg)
+        # patch fit fails -> falls back to segment-mean depth; still usable,
+        # but the PCA gate itself must have rejected the line: with a
+        # perfect line the plane normal is ill-defined, so the triangle/pca
+        # estimate must not be marked as a patch intersection far off 10 m
+        d = float(res.depth[0])
+        assert res.valid[0] == False or abs(d - 10.0) < 0.5
+
+    def test_region_growing_foreground(self, rng):
+        # same foreground/background split as the histogram test — region
+        # growing from the pixel-nearest seed must select the foreground
+        bg = make_wall_cloud(rng, z=30.0, n=40000)
+        fg_uv = np.array([200.0, 150.0])
+        n_fg = 30
+        u = fg_uv[0] + rng.uniform(-4, 4, n_fg)
+        v = fg_uv[1] + rng.uniform(-4, 4, n_fg)
+        # pin one point on the feature pixel: the region-growing seed is the
+        # pixel-nearest neighbor (reference step 2), keep that deterministic
+        u[0], v[0] = fg_uv
+        z = np.full(n_fg, 8.0) + rng.normal(0, 0.02, n_fg)
+        fg = np.stack([(u - CX) / F * z, (v - CY) / F * z, z], -1)
+        cloud = jnp.asarray(np.concatenate([bg, fg]), DT)
+        cfg = LidarDepthConfig(segmentation_mode="region_growing")
+        res = estimate_depths(cloud, jnp.ones(cloud.shape[0], bool),
+                              jnp.asarray([fg_uv], DT), jnp.asarray(F, DT),
+                              jnp.asarray([CX, CY], DT), IMG, cfg)
+        assert bool(res.valid[0])
+        assert abs(float(res.depth[0]) - 8.0) < 0.5, float(res.depth[0])
+
+    def test_region_growing_caps_points(self, rng):
+        from limo_tpu.frontend.lidar_depth import _region_grow_segment
+        cfg = LidarDepthConfig(segmentation_mode="region_growing",
+                               rg_max_points=4)
+        K = 12
+        pts = jnp.asarray(rng.normal(0, 0.01, (1, K, 3)) + [0, 0, 5.0], DT)
+        uvs = jnp.asarray(rng.uniform(99, 101, (1, K, 2)), DT)
+        seg, found = _region_grow_segment(
+            pts, jnp.ones((1, K), bool), uvs,
+            jnp.asarray([[100.0, 100.0]], DT), cfg)
+        assert bool(found[0])
+        assert int(seg.sum()) <= 4

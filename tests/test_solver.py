@@ -262,3 +262,66 @@ class TestTrimmedSolve:
         _, sel2, info = jax.jit(lambda w, s: solve_trimmed(w, s, RIG, cfg))(w, sel)
         assert int(info.n_trimmed) == 0
         assert bool(jnp.all(sel2.lm_selected == sel.lm_selected))
+
+
+class TestMotionParameterization:
+    """setParameterization variants (bundle_adjuster_keyframes.cpp:172-183):
+    FixRotation and the 'Bycicle' planar-arc model (CircularMotionPlus2d)
+    wired as per-keyframe tangent bases in the solver."""
+
+    def _cfg_with_mode(self, cfg, mode):
+        import dataclasses
+        return cfg.replace(solver=dataclasses.replace(
+            cfg.solver, motion_parameterization=mode))
+
+    def test_fix_rotation_recovers_translation_only(self, rng):
+        gt = make_gt_poses()
+        lms = make_landmarks(rng)
+        # translation-only perturbation: rotations start at GT and must stay
+        w, cfg = build_window(gt, lms, RIG, with_depth=True)
+        poses0 = np.array(w.poses)
+        poses0[2:5, 4:] += rng.normal(0, 0.3, (3, 3))
+        w = w._replace(poses=jnp.asarray(poses0, DT))
+        cfg = self._cfg_with_mode(cfg, "fix_rotation")
+        sel = default_selection(w)
+        w2, cost, _, acc = jax.jit(lambda w, s: run_lm(w, s, RIG, cfg, 30))(w, sel)
+        dq, dt = pose_errors(w2, gt)
+        assert int(acc) > 0
+        assert dt.max() < 1e-4, dt
+        # rotations untouched (were exact, must remain bit-identical tangent-wise)
+        dq0 = np.asarray(jax.vmap(quat.qangle)(w.poses[:5, :4], w2.poses[:5, :4]))
+        assert dq0.max() < 1e-12, dq0
+
+    def test_circular_2d_planar_recovery(self, rng):
+        # planar trajectory (z=0, pure z-yaw): in-plane xy perturbations are
+        # recoverable through the 2-dof (yaw, arc) parameterization
+        deltas = [(np.zeros(3), 0.0), (np.array([2.0, 0.1, 0.0]), 0.05),
+                  (np.array([2.0, 0.3, 0.0]), 0.08),
+                  (np.array([2.0, 0.5, 0.0]), 0.06),
+                  (np.array([2.0, 0.6, 0.0]), 0.04)]
+        poses = [pose_ops.identity(DT)]
+        for t, yaw in deltas[1:]:
+            d = pose_ops.make(
+                quat.qfrom_axis_angle(jnp.array([0.0, 0.0, 1.0], DT),
+                                      jnp.asarray(yaw, DT)),
+                jnp.asarray(t, DT))
+            poses.append(pose_ops.compose(poses[-1], d))
+        gt = jnp.stack(poses)
+        lms = rng.uniform(-1, 1, size=(120, 3)) * np.array([15.0, 8.0, 5.0]) \
+            + np.array([0.0, 0.0, 30.0])
+        w, cfg = build_window(gt, jnp.asarray(lms, DT), RIG, with_depth=True)
+        poses0 = np.array(w.poses)
+        poses0[2:5, 4] += rng.normal(0, 0.1, 3)   # x only (in-plane)
+        w = w._replace(poses=jnp.asarray(poses0, DT))
+        cfg = self._cfg_with_mode(cfg, "circular_2d")
+        sel = default_selection(w)
+        cost0 = float(assemble(w, sel, RIG, cfg)[0].cost)
+        w2, cost, _, acc = jax.jit(lambda w, s: run_lm(w, s, RIG, cfg, 40))(w, sel)
+        assert int(acc) > 0
+        assert float(cost) < 0.5 * cost0, (float(cost), cost0)
+        # invariants of the parameterization: z-translation frozen, rotation
+        # stays a pure z-rotation
+        np.testing.assert_allclose(np.asarray(w2.poses[:5, 6]),
+                                   np.asarray(w.poses[:5, 6]), atol=1e-12)
+        qxqy = np.abs(np.asarray(w2.poses[:5, 1:3]))
+        assert qxqy.max() < 1e-9, qxqy

@@ -84,3 +84,21 @@ class TestStageTimer:
             pass
         assert t.counts["a"] == 2 and t.counts["b"] == 1
         assert "a:" in t.report()
+
+
+class TestColorByIndex:
+    """Mirror of get_color(ID, NumColors) (color_by_index_hsv.hpp:29-42)."""
+
+    def test_deterministic_and_distinct(self):
+        from limo_tpu.utils.viz import color_by_index_hsv
+        ids = np.arange(0, 17)
+        c1 = color_by_index_hsv(ids)
+        c2 = color_by_index_hsv(ids)
+        np.testing.assert_array_equal(c1, c2)
+        # id 0 sentinel (reference BGR(123,22,234))
+        np.testing.assert_array_equal(c1[0], [234, 22, 123])
+        # 16 hue slots distinct
+        assert len({tuple(c) for c in c1[1:]}) == 16
+        # wraps modulo num_colors: id 17 == id 1
+        np.testing.assert_array_equal(color_by_index_hsv([17])[0], c1[1])
+        assert c1.min() >= 0 and c1.max() <= 255
