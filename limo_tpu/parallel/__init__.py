@@ -1,10 +1,11 @@
 from .sharding import (
     DATA_AXIS, MODEL_AXIS, device_put_selection, device_put_window,
-    make_mesh, make_sharded_solver, selection_shardings, window_shardings,
+    make_mesh, make_shard_map_solver, make_sharded_solver,
+    selection_shardings, window_shardings,
 )
 
 __all__ = [
     "DATA_AXIS", "MODEL_AXIS", "device_put_selection", "device_put_window",
-    "make_mesh", "make_sharded_solver", "selection_shardings",
-    "window_shardings",
+    "make_mesh", "make_shard_map_solver", "make_sharded_solver",
+    "selection_shardings", "window_shardings",
 ]

@@ -47,13 +47,13 @@ def make_mesh(n_devices: Optional[int] = None, data: Optional[int] = None
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
-def window_shardings(mesh: Mesh, batched: bool) -> Window:
-    """NamedShardings for a (batched) Window: landmark-major arrays shard
+def window_pspecs(batched: bool) -> Window:
+    """PartitionSpecs for a (batched) Window: landmark-major arrays shard
     over MODEL_AXIS, keyframe arrays replicate, batch dim over DATA_AXIS."""
     b = (DATA_AXIS,) if batched else ()
 
     def s(*spec):
-        return NamedSharding(mesh, P(*b, *spec))
+        return P(*b, *spec)
 
     return Window(
         stamps=s(None), poses=s(None, None), kf_valid=s(None),
@@ -66,17 +66,30 @@ def window_shardings(mesh: Mesh, batched: bool) -> Window:
     )
 
 
-def selection_shardings(mesh: Mesh, batched: bool) -> Selection:
+def selection_pspecs(batched: bool) -> Selection:
     b = (DATA_AXIS,) if batched else ()
 
     def s(*spec):
-        return NamedSharding(mesh, P(*b, *spec))
+        return P(*b, *spec)
 
     return Selection(
         lm_selected=s(MODEL_AXIS), gp_kf=s(MODEL_AXIS), gp_weight=s(MODEL_AXIS),
         scale_kf0=s(), scale_kf1=s(), scale_target=s(), scale_weight=s(),
         plane_dist_fixed=s(),
     )
+
+
+def _specs_to_shardings(tree, mesh: Mesh):
+    return jax.tree_util.tree_map(lambda spec: NamedSharding(mesh, spec),
+                                  tree, is_leaf=lambda x: isinstance(x, P))
+
+
+def window_shardings(mesh: Mesh, batched: bool) -> Window:
+    return _specs_to_shardings(window_pspecs(batched), mesh)
+
+
+def selection_shardings(mesh: Mesh, batched: bool) -> Selection:
+    return _specs_to_shardings(selection_pspecs(batched), mesh)
 
 
 def make_sharded_solver(mesh: Mesh, rig, cfg, batched: bool = True):
@@ -103,6 +116,64 @@ def make_sharded_solver(mesh: Mesh, rig, cfg, batched: bool = True):
             return solve_trimmed(window, sel, rig, cfg)
 
     return jax.jit(fn, in_shardings=(w_sh, s_sh))
+
+
+def make_shard_map_solver(mesh: Mesh, rig, cfg, batched: bool = False):
+    """Trimmed solve with *explicit* collectives via ``shard_map``.
+
+    Unlike :func:`make_sharded_solver` (GSPMD — XLA chooses collective
+    placement), this splits the landmark axis over MODEL_AXIS by hand and the
+    solver emits exactly the collectives the algorithm needs:
+
+    - one ``psum`` of the reduced (H_pp, b_p, cost) per assembly,
+    - one ``psum`` of the Schur correction per LM iteration,
+    - one ``all_gather`` of the [L] trim scores per trim round,
+    - ``psum``-ed family counts for the min-residual-groups guards.
+
+    The reduced pose solve (P ≈ 200) runs replicated on every shard — the
+    same division of labor Ceres uses after DENSE_SCHUR elimination, with
+    ICI collectives standing in for shared memory (SURVEY §2.13). With
+    ``batched=True`` a leading window batch axis is additionally split over
+    DATA_AXIS and vmapped within each shard.
+    """
+    import dataclasses
+
+    from ..solver.trimmed import solve_trimmed as _solve
+
+    if getattr(cfg.solver, "use_pallas_assembly", False):
+        # per-shard L must stay TL-aligned; keep the portable einsum path for
+        # the sharded solver (the Pallas kernel is the single-chip fast path)
+        cfg = cfg.replace(solver=dataclasses.replace(
+            cfg.solver, use_pallas_assembly=False))
+
+    w_spec = window_pspecs(batched)
+    s_spec = selection_pspecs(batched)
+
+    def local_solve(window, sel):
+        return _solve(window, sel, rig, cfg, axis_name=MODEL_AXIS)
+
+    if batched:
+        def fn(windows, sels):
+            return jax.vmap(local_solve)(windows, sels)
+    else:
+        fn = local_solve
+
+    from ..solver.trimmed import SolveInfo
+    info_elem = P(DATA_AXIS) if batched else P()
+    out_info = SolveInfo(initial_cost=info_elem, final_cost=info_elem,
+                         n_trimmed=info_elem, n_accepted=info_elem)
+    if hasattr(jax, "shard_map"):          # jax >= 0.8
+        sharded = jax.shard_map(fn, mesh=mesh,
+                                in_specs=(w_spec, s_spec),
+                                out_specs=(w_spec, s_spec, out_info),
+                                check_vma=False)
+    else:
+        from jax.experimental.shard_map import shard_map
+        sharded = shard_map(fn, mesh=mesh,
+                            in_specs=(w_spec, s_spec),
+                            out_specs=(w_spec, s_spec, out_info),
+                            check_rep=False)
+    return jax.jit(sharded)
 
 
 def device_put_window(window: Window, mesh: Mesh, batched: bool = False) -> Window:

@@ -12,6 +12,7 @@ to whitened residuals; trimming is a *mask update* over residual groups
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -53,21 +54,29 @@ def trim_fixed(scores, valid, threshold):
     return valid & (scores > threshold)
 
 
-def trim_quantile(scores, valid, quantile):
+def trim_quantile(scores, valid, quantile, axis_name=None):
     """``TrimmerQuantile`` (trimmer_quantile.hpp:44-67): nth_element at
     floor(N*quantile) of the *valid* scores; everything strictly above the
     pivot value is an outlier (q=0.9 ⇒ top ~10% rejected).
 
     Masked, fixed-shape: invalid entries are pushed to +inf and excluded.
+    Inside a ``shard_map`` over a landmark-sharded mesh axis, pass
+    ``axis_name``: the pivot is computed from the all-gathered global scores
+    (one small ``all_gather`` of [L] floats) and applied to the local shard.
     """
-    n_valid = jnp.sum(valid)
+    if axis_name is None:
+        g_scores, g_valid = scores, valid
+    else:
+        g_scores = jax.lax.all_gather(scores, axis_name).reshape(-1)
+        g_valid = jax.lax.all_gather(valid, axis_name).reshape(-1)
+    n_valid = jnp.sum(g_valid)
     big = jnp.asarray(jnp.inf, scores.dtype)
-    masked = jnp.where(valid, scores, big)
+    masked = jnp.where(g_valid, g_scores, big)
     sorted_scores = jnp.sort(masked)
     # reference: std::nth_element(begin, begin + quantile*size, end) then the
     # pivot *value* partitions; index = floor(q * n_valid), clipped.
     idx = jnp.clip((quantile * n_valid.astype(scores.dtype)).astype(jnp.int32),
-                   0, scores.shape[0] - 1)
+                   0, g_scores.shape[0] - 1)
     pivot = sorted_scores[idx]
     return valid & (scores > pivot)
 

@@ -225,12 +225,18 @@ def _gp_system(window: Window, sel: Selection, cfg, with_jacobians: bool):
 def assemble(window: Window, sel: Selection, rig, cfg,
              compensate_rotation: bool = False,
              pose_only: bool = False,
-             speed_reg=None) -> tuple[NormalEqs, ResidualStats]:
+             speed_reg=None, axis_name=None) -> tuple[NormalEqs, ResidualStats]:
     """Build the (masked, undamped) normal equations at the current state.
 
     speed_reg: optional (kf_index, pose_origin_before, vel_before, dt, weight)
     for the motion-only constant-velocity residual
     (``adjustPoseOnly``:835-853).
+
+    axis_name: set when called inside ``shard_map`` with the landmark axis
+    split over a mesh axis. The observation/groundplane contributions to the
+    reduced pose system (H_pp, b_p, cost, family counts) are ``psum``-reduced
+    over that axis; V/W/b_l stay local to each landmark shard. Replicated
+    regularizers are added *after* the psum so they enter exactly once.
     """
     K, L, C = window.K, window.L, window.C
     P = K * PD
@@ -243,16 +249,16 @@ def assemble(window: Window, sel: Selection, rig, cfg,
     reg_cfg = cfg.regularization
 
     lm_active = window.lm_valid & sel.lm_selected
+    from .pallas_assemble import TL as _TL
     use_pallas = (getattr(cfg.solver, "use_pallas_assembly", False)
                   and not compensate_rotation and dtype == jnp.float32
+                  and L % _TL == 0      # kernel grid needs TL-aligned L
                   and jax.default_backend() == "tpu")
     if use_pallas:
         # fused Mosaic kernel: residuals + analytic jacobians in registers,
         # only the reduced blocks hit HBM (solver/pallas_assemble.py)
         from ..geometry.quaternion import qnormalize, qto_matrix
         from .pallas_assemble import TL, assemble_obs_pallas
-
-        assert L % TL == 0, (L, TL)
         obs_t = window.obs.transpose(1, 2, 3, 0).reshape(K * C * 3, L)
         base = (window.obs_mask & lm_active[:, None, None]
                 & window.kf_valid[None, :, None])
@@ -317,6 +323,13 @@ def assemble(window: Window, sel: Selection, rig, cfg,
     H_pp = jnp.einsum("kab,kq->kaqb", blocks,
                       jnp.eye(K, dtype=dtype)).reshape(P, P)
     b_p = (jnp.pad(b_pose_k, ((0, 0), (0, PD - 6))) + b_gp_k).reshape(P)
+
+    if axis_name is not None:
+        # landmark-sharded execution: reduce the L-axis contributions once,
+        # over ICI (this is the single collective of the assembly)
+        H_pp = jax.lax.psum(H_pp, axis_name)
+        b_p = jax.lax.psum(b_p, axis_name)
+        cost = jax.lax.psum(cost, axis_name)
 
     # embed W: pose columns from obs, pose+plane columns from gp
     W_full = (jnp.pad(W_lk6, ((0, 0), (0, 0), (0, PD - 6), (0, 0))) + W_gp)
@@ -384,29 +397,40 @@ def assemble(window: Window, sel: Selection, rig, cfg,
         repr_valid=jnp.any(repr_ok, axis=(1, 2)),
         depth_valid=jnp.any(depth_ok, axis=(1, 2)),
         gp_valid=gp_on,
-        n_depth=jnp.sum(depth_ok.astype(jnp.int32)),
-        n_gp=jnp.sum(gp_on.astype(jnp.int32)),
+        n_depth=_gcount(depth_ok, axis_name),
+        n_gp=_gcount(gp_on, axis_name),
     )
     eqs = NormalEqs(H_pp=H_pp, b_p=b_p, V=V, b_l=b_l, W=W_full, cost=cost,
                     param_mask=param_mask, lm_mask=lm_free)
     return eqs, stats
 
 
+def _gcount(mask, axis_name):
+    """Global count of a boolean mask — psum over the mesh axis if sharded."""
+    n = jnp.sum(mask.astype(jnp.int32))
+    return n if axis_name is None else jax.lax.psum(n, axis_name)
+
+
 def compute_cost(window: Window, sel: Selection, rig, cfg,
                  compensate_rotation: bool = False,
-                 pose_only: bool = False, speed_reg=None) -> jnp.ndarray:
+                 pose_only: bool = False, speed_reg=None,
+                 axis_name=None) -> jnp.ndarray:
     """Robust cost only — no jacobians. Used for LM accept/reject so the
     compiled graph stays ~9× smaller than a full assemble per candidate."""
     _, _, _, _, _, _, cost = _obs_system(window, sel, rig, cfg,
                                          compensate_rotation,
                                          with_jacobians=False)
     _, _, _, gp_cost, _, _ = _gp_system(window, sel, cfg, with_jacobians=False)
+    cost = cost + gp_cost
+    if axis_name is not None:
+        cost = jax.lax.psum(cost, axis_name)
     reg_r, reg_w = _regularizer_values(window, sel, cfg, speed_reg, pose_only)
-    return cost + gp_cost + 0.5 * jnp.sum(reg_w * reg_r * reg_r)
+    return cost + 0.5 * jnp.sum(reg_w * reg_r * reg_r)
 
 
 def residual_stats(window: Window, sel: Selection, rig, cfg,
-                   compensate_rotation: bool = False) -> "ResidualStats":
+                   compensate_rotation: bool = False,
+                   axis_name=None) -> "ResidualStats":
     """Loss-free per-landmark residual scores for trimming — forward pass
     only (``calculateResiduals``/``getMaximumResidual``,
     robust_solving.cpp:16-91 evaluate without loss)."""
@@ -422,8 +446,8 @@ def residual_stats(window: Window, sel: Selection, rig, cfg,
         repr_valid=jnp.any(repr_ok, axis=(1, 2)),
         depth_valid=jnp.any(depth_ok, axis=(1, 2)),
         gp_valid=gp_on,
-        n_depth=jnp.sum(depth_ok.astype(jnp.int32)),
-        n_gp=jnp.sum(gp_on.astype(jnp.int32)),
+        n_depth=_gcount(depth_ok, axis_name),
+        n_gp=_gcount(gp_on, axis_name),
     )
 
 

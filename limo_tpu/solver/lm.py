@@ -55,8 +55,13 @@ def _inv3(V):
     return adj / det[..., None, None]
 
 
-def solve_normal_equations(eqs, lam):
-    """Damped Schur solve → (delta_p [P], delta_l [L,3])."""
+def solve_normal_equations(eqs, lam, axis_name=None):
+    """Damped Schur solve → (delta_p [P], delta_l [L,3]).
+
+    axis_name: inside ``shard_map`` with landmarks split over a mesh axis,
+    the Schur correction (an L-axis reduction) is ``psum``-reduced; the
+    reduced dense solve then runs replicated on every shard and the landmark
+    back-substitution stays local."""
     dtype = eqs.H_pp.dtype
     P = eqs.H_pp.shape[0]
     # Marquardt damping on diagonals (with absolute floor for flat dims)
@@ -68,10 +73,14 @@ def solve_normal_equations(eqs, lam):
     V = eqs.V + (lam * jnp.maximum(Vdiag, 1e-6))[..., None] * jnp.eye(3, dtype=dtype)
     Vinv = _inv3(V)
 
-    # Schur complement (the L-axis reduction — shardable with one psum)
+    # Schur complement (the L-axis reduction — ONE psum when sharded)
     WVinv = jnp.einsum("lpi,lij->lpj", eqs.W, Vinv)
-    S = H_pp - jnp.einsum("lpi,lqi->pq", WVinv, eqs.W)
-    rhs = eqs.b_p - jnp.einsum("lpi,li->p", WVinv, eqs.b_l)
+    S_corr = jnp.einsum("lpi,lqi->pq", WVinv, eqs.W)
+    rhs_corr = jnp.einsum("lpi,li->p", WVinv, eqs.b_l)
+    if axis_name is not None:
+        S_corr, rhs_corr = jax.lax.psum((S_corr, rhs_corr), axis_name)
+    S = H_pp - S_corr
+    rhs = eqs.b_p - rhs_corr
 
     # dense solve of the reduced system (P ≈ 200)
     S = 0.5 * (S + S.T)
@@ -107,7 +116,7 @@ def apply_step(window: Window, delta_p, delta_l,
 
 def run_lm(window: Window, sel: Selection, rig, cfg, max_iters,
            compensate_rotation: bool = False, pose_only: bool = False,
-           speed_reg=None, initial_lambda=None):
+           speed_reg=None, initial_lambda=None, axis_name=None):
     """Run up to ``max_iters`` accepted+rejected LM steps. Returns
     (window, final_cost, final_lambda, n_accepted)."""
     scfg = cfg.solver
@@ -115,12 +124,14 @@ def run_lm(window: Window, sel: Selection, rig, cfg, max_iters,
 
     def get_eqs(w):
         return assemble(w, sel, rig, cfg, compensate_rotation=compensate_rotation,
-                        pose_only=pose_only, speed_reg=speed_reg)
+                        pose_only=pose_only, speed_reg=speed_reg,
+                        axis_name=axis_name)
 
     def get_cost(w):
         return compute_cost(w, sel, rig, cfg,
                             compensate_rotation=compensate_rotation,
-                            pose_only=pose_only, speed_reg=speed_reg)
+                            pose_only=pose_only, speed_reg=speed_reg,
+                            axis_name=axis_name)
 
     cost0 = get_cost(window)
     dtype = window.poses.dtype
@@ -138,7 +149,7 @@ def run_lm(window: Window, sel: Selection, rig, cfg, max_iters,
     def body(s: LMState):
         # one full assembly for the step; candidate judged by cost only
         eqs, _ = get_eqs(s.window)
-        delta_p, delta_l = solve_normal_equations(eqs, s.lam)
+        delta_p, delta_l = solve_normal_equations(eqs, s.lam, axis_name=axis_name)
         cand = apply_step(
             s.window, delta_p, delta_l,
             motion_parameterization=getattr(

@@ -57,11 +57,18 @@ class _TrimState(NamedTuple):
 
 
 def solve_trimmed(window: Window, sel: Selection, rig, cfg,
-                  compensate_rotation: bool = False):
+                  compensate_rotation: bool = False, axis_name=None):
     """Full trimmed solve. Returns (window, selection, SolveInfo).
 
     The returned selection has trimmed landmarks removed (mask cleared) —
     mirroring the reference's permanent RemoveResidualBlock surgery.
+
+    axis_name: set when running inside ``shard_map`` with the landmark axis
+    split over a mesh axis (see :mod:`limo_tpu.parallel.sharding`). All
+    L-axis reductions become explicit collectives: one ``psum`` of the
+    reduced pose system per LM iteration, an ``all_gather`` of the [L] trim
+    scores per trim round, and ``psum``-ed family counts for the
+    min-residual-groups guards.
     """
     rcfg = cfg.robust
     scfg = cfg.solver
@@ -77,39 +84,50 @@ def solve_trimmed(window: Window, sel: Selection, rig, cfg,
 
     def get_cost(w, mask):
         return compute_cost(w, sel_with(mask), rig, cfg,
-                            compensate_rotation=compensate_rotation)
+                            compensate_rotation=compensate_rotation,
+                            axis_name=axis_name)
+
+    def gsum(x):
+        n = jnp.sum(x.astype(jnp.int32))
+        return n if axis_name is None else jax.lax.psum(n, axis_name)
 
     initial_cost = get_cost(window, sel.lm_selected)
     # trimming only engages with >100 selected landmarks (solve():741-746)
-    n_selected = jnp.sum((window.lm_valid & sel.lm_selected).astype(jnp.int32))
+    n_selected = gsum(window.lm_valid & sel.lm_selected)
     trim_active = n_selected > 100
 
     def trim(st: _TrimState) -> _TrimState:
         stats = residual_stats(st.window, sel_with(st.lm_selected), rig, cfg,
-                               compensate_rotation=compensate_rotation)
+                               compensate_rotation=compensate_rotation,
+                               axis_name=axis_name)
         out_repr = (trim_quantile(stats.repr_score, stats.repr_valid,
-                                  rcfg.reprojection_quantile)
-                    & (jnp.sum(stats.repr_valid) >= rcfg.min_residual_groups))
+                                  rcfg.reprojection_quantile, axis_name)
+                    & (gsum(stats.repr_valid) >= rcfg.min_residual_groups))
         out_depth = (trim_quantile(stats.depth_score, stats.depth_valid,
-                                   rcfg.depth_quantile)
-                     & (jnp.sum(stats.depth_valid) >= rcfg.min_residual_groups))
-        out_gp = (trim_quantile(stats.gp_score, stats.gp_valid, rcfg.gp_quantile)
-                  & (jnp.sum(stats.gp_valid) >= rcfg.min_residual_groups))
+                                   rcfg.depth_quantile, axis_name)
+                     & (gsum(stats.depth_valid) >= rcfg.min_residual_groups))
+        out_gp = (trim_quantile(stats.gp_score, stats.gp_valid,
+                                rcfg.gp_quantile, axis_name)
+                  & (gsum(stats.gp_valid) >= rcfg.min_residual_groups))
         outliers = (out_repr | out_depth | out_gp) & trim_active
         mask = st.lm_selected & (~outliers)
         return st._replace(
             lm_selected=mask,
-            n_trimmed=(st.n_trimmed
-                       + jnp.sum(outliers.astype(jnp.int32))).astype(jnp.int32),
+            n_trimmed=(st.n_trimmed + gsum(outliers)).astype(jnp.int32),
             cost=get_cost(st.window, mask),
         )
 
     def body(st: _TrimState) -> _TrimState:
         # ---- one LM iteration ------------------------------------------
         eqs, _ = assemble(st.window, sel_with(st.lm_selected), rig, cfg,
-                          compensate_rotation=compensate_rotation)
-        delta_p, delta_l = solve_normal_equations(eqs, st.lam)
-        cand = apply_step(st.window, delta_p, delta_l)
+                          compensate_rotation=compensate_rotation,
+                          axis_name=axis_name)
+        delta_p, delta_l = solve_normal_equations(eqs, st.lam,
+                                                  axis_name=axis_name)
+        cand = apply_step(
+            st.window, delta_p, delta_l,
+            motion_parameterization=getattr(
+                scfg, "motion_parameterization", "full_dof"))
         new_cost = get_cost(cand, st.lm_selected)
         accept = jnp.isfinite(new_cost) & (new_cost < st.cost)
         window = jax.tree_util.tree_map(

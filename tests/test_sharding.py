@@ -65,3 +65,47 @@ class TestShardedSolve:
         dq, dt = pose_errors(
             jax.tree_util.tree_map(lambda x: x[0], out_w), gt)
         assert dt.max() < 0.1
+
+
+class TestShardMapSolver:
+    """Explicit-collective (shard_map) landmark-sharded solver: must match
+    the single-device solve and the GSPMD path."""
+
+    def test_shard_map_equals_single(self, problem):
+        from limo_tpu.parallel import make_shard_map_solver
+
+        gt, w, cfg, sel = problem
+        ref_w, ref_sel, ref_info = jax.jit(
+            lambda w, s: solve_trimmed(w, s, RIG, cfg))(w, sel)
+
+        mesh = make_mesh(8, data=1)
+        ws = device_put_window(w, mesh, batched=False)
+        sels = device_put_selection(sel, mesh, batched=False)
+        solver = make_shard_map_solver(mesh, RIG, cfg, batched=False)
+        out_w, out_sel, out_info = solver(ws, sels)
+
+        np.testing.assert_allclose(np.asarray(out_w.poses),
+                                   np.asarray(ref_w.poses), atol=1e-6)
+        np.testing.assert_allclose(float(out_info.final_cost),
+                                   float(ref_info.final_cost), rtol=1e-6)
+        # trim decisions identical (global quantile via all_gather)
+        np.testing.assert_array_equal(np.asarray(out_sel.lm_selected),
+                                      np.asarray(ref_sel.lm_selected))
+
+    def test_shard_map_batched(self, problem):
+        from limo_tpu.parallel import make_shard_map_solver
+
+        gt, w, cfg, sel = problem
+        mesh = make_mesh(8, data=2)
+        B = 2
+        wb = jax.tree_util.tree_map(lambda x: jnp.stack([x] * B), w)
+        selb = jax.tree_util.tree_map(lambda x: jnp.stack([x] * B), sel)
+        wb = device_put_window(wb, mesh, batched=True)
+        selb = device_put_selection(selb, mesh, batched=True)
+        solver = make_shard_map_solver(mesh, RIG, cfg, batched=True)
+        out_w, out_sel, out_info = solver(wb, selb)
+        np.testing.assert_allclose(np.asarray(out_w.poses[0]),
+                                   np.asarray(out_w.poses[1]), atol=1e-12)
+        dq, dt = pose_errors(
+            jax.tree_util.tree_map(lambda x: x[0], out_w), gt)
+        assert dt.max() < 0.1
