@@ -80,17 +80,35 @@ def make_world(num_frames: int = 60, hz: float = 10.0, speed: float = 10.0,
         heading += yaw_rate * dt * speed
     poses_veh = np.stack(poses)
 
-    # landmark corridor along the path
-    path_len = speed * num_frames * dt
-    s = rng.uniform(-10, path_len + 40, n_landmarks)
-    lat = rng.uniform(-25, 25, n_landmarks)
-    hgt = rng.uniform(-1.0, 4.0, n_landmarks)
-    # bend the corridor with the trajectory heading (approx: straight corridor
-    # works for small yaw_rate; landmarks are placed in origin frame)
-    structure = np.stack([s, lat, hgt], -1)
-    gs = rng.uniform(0, path_len + 30, n_ground)
-    glat = rng.uniform(-8, 8, n_ground)
-    ground = np.stack([gs, glat, np.full(n_ground, -cam_height)], -1)
+    # landmark corridor bent along the integrated path (so long, curving
+    # trajectories keep landmarks in view): sample an arc position on the
+    # path (extended ~40 m past the end), then offset laterally in the local
+    # heading frame
+    ext_frames = int(40.0 / (speed * dt)) + 1
+    path_pos = np.zeros((num_frames + ext_frames, 3))
+    path_head = np.zeros(num_frames + ext_frames)
+    p, h = np.zeros(3), 0.0
+    for i in range(num_frames + ext_frames):
+        path_pos[i], path_head[i] = p, h
+        R = np.array([[np.cos(h), -np.sin(h), 0],
+                      [np.sin(h), np.cos(h), 0], [0, 0, 1.0]])
+        p = p + R @ np.array([speed * dt, 0, 0])
+        h += yaw_rate * dt * speed
+
+    def along_path(n, lat_lo, lat_hi, z_lo, z_hi):
+        t = rng.uniform(0, len(path_pos) - 1, n)
+        i0 = np.floor(t).astype(int)
+        frac = t - i0
+        pos = path_pos[i0] * (1 - frac[:, None]) \
+            + path_pos[np.minimum(i0 + 1, len(path_pos) - 1)] * frac[:, None]
+        head = path_head[i0]
+        lat = rng.uniform(lat_lo, lat_hi, n)
+        z = rng.uniform(z_lo, z_hi, n) if z_lo != z_hi else np.full(n, z_lo)
+        off = np.stack([-np.sin(head) * lat, np.cos(head) * lat, z], -1)
+        return pos + off
+
+    structure = along_path(n_landmarks, -25, 25, -1.0, 4.0)
+    ground = along_path(n_ground, -8, 8, -cam_height, -cam_height)
     landmarks = np.concatenate([structure, ground])
     is_ground = np.concatenate([np.zeros(n_landmarks, bool), np.ones(n_ground, bool)])
 
@@ -171,3 +189,45 @@ class SyntheticTracker:
         return Tracklets(stamps=stamps, uvd=uvd, mask=mask,
                          ids=ids.astype(np.int64), age=age,
                          is_outlier=np.zeros(N, bool), label=label)
+
+
+def dense_tracks(world: SyntheticWorld, num_rows: int,
+                 pixel_noise: float = 0.3, depth_noise: float = 0.03,
+                 with_depth: bool = False, depth_fraction: float = 0.6,
+                 max_range: float = 80.0, seed: int = 1):
+    """Dense per-frame observation tensors for the scan-odometry evaluator
+    (:mod:`limo_tpu.pipeline.scan_odometry`): landmark row = world landmark
+    index (capacity-padded).
+
+    Returns (stamps [F], uvd [F,R,3], valid [F,R]) with R = num_rows.
+    """
+    rng = np.random.default_rng(seed)
+    F_n = world.poses_veh.shape[0]
+    M = world.landmarks.shape[0]
+    assert M <= num_rows, (M, num_rows)
+    W, H = world.image_size
+    f, pp = world.focal, world.principal
+    tcv = jnp.asarray(world.T_cam_veh)
+
+    uvd = np.zeros((F_n, num_rows, 3), np.float64)
+    uvd[..., 2] = -1.0
+    valid = np.zeros((F_n, num_rows), bool)
+    has_depth_row = rng.uniform(size=M) < depth_fraction
+
+    lms = jnp.asarray(world.landmarks)
+    for i in range(F_n):
+        p_cam = np.asarray(pose_ops.apply(
+            tcv, pose_ops.apply(jnp.asarray(world.poses_veh[i]), lms)))
+        z = p_cam[:, 2]
+        ok = z > 0.5
+        uv = np.zeros((M, 2))
+        uv[ok] = f * p_cam[ok, :2] / z[ok, None] + pp
+        ok &= ((uv[:, 0] >= 0) & (uv[:, 0] < W)
+               & (uv[:, 1] >= 0) & (uv[:, 1] < H) & (z < max_range))
+        uv = uv + rng.normal(0, pixel_noise, uv.shape)
+        uvd[i, :M, :2] = uv
+        if with_depth:
+            d = z + rng.normal(0, depth_noise, M)
+            uvd[i, :M, 2] = np.where(ok & has_depth_row, d, -1.0)
+        valid[i, :M] = ok
+    return world.stamps.copy(), uvd, valid
