@@ -30,10 +30,11 @@ def dilate_labels(label_img, priority_mask, half_kernel: int = 8):
     should expand). Returns the dilated label image."""
     k = 2 * half_kernel + 1
     # propagate (priority, label) pairs with a max-reduce on packed keys
+    # int32 packing (labels are small class ids): works with or without x64
     packed = jnp.where(priority_mask,
-                       (label_img.astype(jnp.int64) + 1) << 1 | 1,
-                       jnp.int64(0))
-    grown = jax.lax.reduce_window(packed, jnp.int64(0), jax.lax.max,
+                       (label_img.astype(jnp.int32) + 1) << 1 | 1,
+                       jnp.int32(0))
+    grown = jax.lax.reduce_window(packed, jnp.int32(0), jax.lax.max,
                                   (k, k), (1, 1), "SAME")
     has = grown > 0
     grown_label = ((grown >> 1) - 1).astype(label_img.dtype)

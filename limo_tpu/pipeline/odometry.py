@@ -25,6 +25,8 @@ from ..frontend.essential import estimate_essential, motion_prior_unscaled
 from ..geometry import pose as pose_ops
 from ..geometry import quaternion as quat
 from ..selection import select_keyframe
+from ..utils.diagnostics import (DiagnosticUpdater, FrequencyStatus,
+                                 SensorStatusCheck)
 from ..window_manager import FIX_NONE, FIX_POSE, FIX_SCALE, BundleAdjuster
 from .tracklets import Tracklets
 
@@ -50,6 +52,18 @@ class MonoOdometry:
         self._last_solve_stamp: Optional[float] = None
         self._last_frame_stamp: Optional[float] = None
         self._essential_fn = None
+        # diagnostics heartbeat (mono_lidar.cpp:490-507): sensor status +
+        # frame-rate watch, updated once per frame (throttled to 1 Hz wall)
+        self.sensor_status = SensorStatusCheck()
+        self.frame_rate = FrequencyStatus(
+            min_freq=1.0 / max(
+                self.cfg.keyframe_selection.time_between_keyframes_sec, 1e-3),
+            tolerance=0.5, clock=lambda: (self._last_frame_stamp or 0.0))
+        self.diagnostics = DiagnosticUpdater(
+            hardware_id=type(self).__name__)
+        self.diagnostics.add("Sensor Status", self.sensor_status)
+        self.diagnostics.add("Frame Rate", self.frame_rate)
+        self.diagnostics.force_update()
 
     # ------------------------------------------------------------------
 
@@ -131,6 +145,7 @@ class MonoOdometry:
             self._last_frame_stamp = stamp
             r = FrameResult(stamp, pose0, True, False)
             self.trajectory.append(r)
+            self._heartbeat(stamp)
             return r
 
         # ---- pose prior + motion-only scale correction -----------------
@@ -175,7 +190,15 @@ class MonoOdometry:
         self._last_frame_stamp = stamp
         r = FrameResult(stamp, np.asarray(pose_adj, np.float64), is_kf, solved)
         self.trajectory.append(r)
+        self._heartbeat(stamp)
         return r
+
+    def _heartbeat(self, stamp: float) -> None:
+        """Per-frame diagnostics tick (reference: updater_.update() driven
+        by the node's spin; here driven by the frame loop)."""
+        self.sensor_status.heartbeat(stamp)
+        self.frame_rate.tick(stamp)
+        self.diagnostics.update()
 
     # ------------------------------------------------------------------
 

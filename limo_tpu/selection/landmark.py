@@ -173,15 +173,17 @@ def voxel_scheme(window: Window, newest_kf: jnp.ndarray, candidates: jnp.ndarray
     # --- voxel dedup of middle candidates (fixed-grid hash + sort-unique) ---
     vx = jnp.asarray(ls.voxel_size_xyz, dtype)
     cell = jnp.floor(p / vx).astype(jnp.int32) + 1_000_00  # offset to positive
-    key = (cell[:, 0].astype(jnp.int64) * 73856093
-           ^ cell[:, 1].astype(jnp.int64) * 19349663
-           ^ cell[:, 2].astype(jnp.int64) * 83492791)
-    key = jnp.where(mid_cand, key, jnp.int64(jnp.iinfo(jnp.int64).max))
+    # uint32 spatial hash (wraparound is defined): works with or without x64
+    key = (cell[:, 0].astype(jnp.uint32) * jnp.uint32(73856093)
+           ^ cell[:, 1].astype(jnp.uint32) * jnp.uint32(19349663)
+           ^ cell[:, 2].astype(jnp.uint32) * jnp.uint32(83492791))
+    sentinel = jnp.uint32(0xFFFFFFFF)
+    key = jnp.where(mid_cand, key, sentinel)
     order = jnp.argsort(key)
     sorted_key = key[order]
     first = jnp.concatenate([jnp.array([True]),
                              sorted_key[1:] != sorted_key[:-1]])
-    rep_sorted = first & (sorted_key != jnp.iinfo(jnp.int64).max)
+    rep_sorted = first & (sorted_key != sentinel)
     rep = jnp.zeros_like(mid_cand).at[order].set(rep_sorted)
 
     near_mask = rep & (dist < mid_thres)
