@@ -350,6 +350,59 @@ def run_batch(stamps_b, uvd_b, valid_b, rig, cfg, priors_b=None,
                jnp.asarray(uvd_b, dtype), jnp.asarray(valid_b), p_b, ok_b)
 
 
+def run_fleet(mesh, stamps_b, uvd_b, valid_b, rig, cfg, priors_b=None,
+              prior_valid_b=None, dtype=jnp.float32):
+    """Sequence fleet sharded over the mesh's ``data`` axis — the TPU
+    equivalent of the reference's serial per-sequence KITTI eval loop
+    (kitti_eval_script.sh:54-115, SURVEY §3.5: "all 11 sequences as one
+    sharded computation"). The leading batch axis is split across devices
+    (GSPMD; pure data parallelism, no cross-sequence collectives), so
+    B sequences on D chips cost one sequence's wall time.
+
+    The batch is padded up to a multiple of the data-axis size; padded
+    rows replay sequence 0 and are dropped from the returned outputs.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    B = stamps_b.shape[0]
+    data = mesh.shape["data"]
+    pad = (-B) % data
+    if pad:
+        rep = lambda x: np.concatenate([x, np.repeat(x[:1], pad, axis=0)])
+        stamps_b, uvd_b, valid_b = rep(np.asarray(stamps_b)), \
+            rep(np.asarray(uvd_b)), rep(np.asarray(valid_b))
+        if priors_b is not None:
+            priors_b = rep(np.asarray(priors_b))
+            if prior_valid_b is not None:
+                prior_valid_b = rep(np.asarray(prior_valid_b))
+    Bp, F = stamps_b.shape[0], stamps_b.shape[1]
+
+    st = init_state(cfg.capacity, dtype)
+    st_b = jax.tree_util.tree_map(lambda x: jnp.stack([x] * Bp), st)
+    step = make_scan_step(rig, cfg)
+
+    def one(st, stamps, uvd, valid, p, ok):
+        return jax.lax.scan(step, st, (stamps, uvd, valid, p, ok))
+
+    shard = NamedSharding(mesh, P("data"))
+    if priors_b is None:
+        p_b = jnp.zeros((Bp, F, 7), dtype).at[..., 0].set(1.0)
+        ok_b = jnp.zeros((Bp, F), bool)
+    else:
+        p_b = jnp.asarray(priors_b, dtype)
+        ok_b = (jnp.ones((Bp, F), bool) if prior_valid_b is None
+                else jnp.asarray(prior_valid_b))
+    args = (st_b,
+            jnp.asarray(stamps_b, st.window.stamps.dtype),
+            jnp.asarray(uvd_b, dtype), jnp.asarray(valid_b), p_b, ok_b)
+    args = jax.device_put(args, shard)
+    final, outs = jax.jit(jax.vmap(one))(*args)
+    if pad:
+        final = jax.tree_util.tree_map(lambda x: x[:B], final)
+        outs = jax.tree_util.tree_map(lambda x: x[:B], outs)
+    return final, outs
+
+
 def poses_kitti(frame_out: FrameOut) -> np.ndarray:
     """FrameOut → [F,4,4] KITTI origin←vehicle matrices."""
     inv = pose_ops.inverse(frame_out.pose)

@@ -20,7 +20,11 @@ def enable_compilation_cache(path: str | None = None) -> str:
     os.makedirs(path, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # persist even trivial entries: eager-dispatch op compiles dominate
+        # host-loop drives (each costs a remote RPC under the axon tunnel;
+        # ~60 ms each on the 2-core CPU box) and only ever hit the cache if
+        # they are written
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass

@@ -21,9 +21,12 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: the suite is compile-bound (2-core box), and
-# most programs are identical across runs — cache them under /tmp.
-jax.config.update("jax_compilation_cache_dir", "/tmp/limo_tpu_test_jaxcache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# most programs are identical across runs — cache them inside the repo
+# (gitignored) so the cache survives /tmp wipes between sessions.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                          ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np  # noqa: E402

@@ -74,6 +74,32 @@ class TestScanOdometry:
             jax.tree_util.tree_map(lambda x: x[0], outb)))
         assert ate_b < 0.3, ate_b
 
+    def test_fleet_sharded_matches_batch(self, setup):
+        # SURVEY §3.5: the sequence fleet as ONE mesh-sharded computation.
+        # 3 sequences on a 4-device data axis (pad row dropped) must equal
+        # the unsharded vmap bitwise (pure data parallelism).
+        from limo_tpu.parallel import make_mesh
+        world, cfg, rig = setup
+        stamps, uvd, valid = dense_tracks(world, R, with_depth=True, seed=4)
+        sb = np.stack([stamps] * 3)
+        ub = np.stack([uvd] * 3)
+        vb = np.stack([valid] * 3)
+        stb, outb = so.run_batch(sb, ub, vb, rig, cfg)
+        mesh = make_mesh(8, data=4)
+        stf, outf = so.run_fleet(mesh, sb, ub, vb, rig, cfg)
+        assert outf.pose.shape[0] == 3
+        # identical sequences stay identical under sharding
+        np.testing.assert_allclose(np.asarray(outf.pose[0]),
+                                   np.asarray(outf.pose[2]), atol=0)
+        # vs the unsharded vmap: partitioning changes f32 reduction order and
+        # the LM accept/reject flips amplify it during bootstrap (same reason
+        # test_batch_matches_single compares steady state only)
+        np.testing.assert_allclose(np.asarray(outf.pose[0, 10:]),
+                                   np.asarray(outb.pose[0, 10:]), atol=5e-2)
+        ate = ate_rmse(world.kitti_gt(), so.poses_kitti(
+            jax.tree_util.tree_map(lambda x: x[0], outf)))
+        assert ate < 0.3, ate
+
     def test_keyframe_gating(self, setup):
         # standstill frames (zero flow) must not become keyframes
         world, cfg, rig = setup
