@@ -121,6 +121,61 @@ def batch_evaluate_synthetic(num_sequences: int = 4, **kw) -> List[SequenceRepor
             for s in range(num_sequences)]
 
 
+def evaluate_fleet_synthetic(num_sequences: int = 4, num_frames: int = 40,
+                             mesh=None, landmark_rows: int = 512,
+                             cfg: Optional[LimoConfig] = None,
+                             dtype=jnp.float32,
+                             out_dir: Optional[str] = None
+                             ) -> List[SequenceReport]:
+    """All sequences as ONE mesh-sharded device computation — the TPU
+    answer to the reference's serial ``kitti_eval_script.sh`` loop
+    (SURVEY §3.5; scan_odometry.run_fleet). fps reported is *aggregate*
+    frames/s across the fleet."""
+    import jax
+
+    from ..config import CapacityConfig
+    from ..parallel import make_mesh
+    from . import scan_odometry as so
+    from .synthetic import dense_tracks
+
+    if mesh is None:
+        n_dev = len(jax.devices())
+        mesh = make_mesh(n_dev, data=n_dev)
+    cfg = cfg or LimoConfig(capacity=CapacityConfig(
+        max_keyframes=12, max_landmarks=landmark_rows, max_cameras=1))
+    worlds = [make_world(num_frames=num_frames, speed=8.0, yaw_rate=0.015,
+                         n_landmarks=300, n_ground=80, seed=s)
+              for s in range(num_sequences)]
+    rig = CameraRig(
+        focal=jnp.asarray([worlds[0].focal], dtype),
+        principal=jnp.asarray([worlds[0].principal], dtype),
+        T_cam_veh=jnp.asarray([worlds[0].T_cam_veh], dtype))
+    tracks = [dense_tracks(w, landmark_rows, with_depth=True, seed=s + 100)
+              for s, w in enumerate(worlds)]
+    sb = np.stack([t[0] for t in tracks])
+    ub = np.stack([t[1] for t in tracks])
+    vb = np.stack([t[2] for t in tracks])
+
+    t0 = time.time()
+    _, outs = so.run_fleet(mesh, sb, ub, vb, rig, cfg, dtype=dtype)
+    jax.block_until_ready(outs.pose)
+    dt = time.time() - t0
+
+    reports = []
+    fleet_fps = num_sequences * num_frames / max(dt, 1e-9)
+    for s, w in enumerate(worlds):
+        est = so.poses_kitti(
+            jax.tree_util.tree_map(lambda x, s=s: x[s], outs))
+        gt = w.kitti_gt()
+        if out_dir:
+            kitti.write_poses(os.path.join(out_dir, f"{s:02d}.txt"), est)
+        reports.append(SequenceReport(
+            name=f"fleet-{s}", n_frames=num_frames, fps=fleet_fps,
+            ate=ate_rmse(gt, est),
+            drift=kitti_drift(gt, est, lengths=(20.0, 30.0), step=5)))
+    return reports
+
+
 def main():  # pragma: no cover — manual entry
     import argparse
 
@@ -129,12 +184,19 @@ def main():  # pragma: no cover — manual entry
     p.add_argument("--gt", help="ground-truth poses file")
     p.add_argument("--out", default="/tmp/poses_out.txt")
     p.add_argument("--frames", type=int, default=None)
+    p.add_argument("--fleet", type=int, default=0,
+                   help="run N synthetic sequences as one sharded fleet")
     args = p.parse_args()
-    if args.seq:
+    if args.fleet:
+        for rep in evaluate_fleet_synthetic(args.fleet,
+                                            num_frames=args.frames or 40):
+            print(rep.to_json())
+    elif args.seq:
         rep = evaluate_kitti_sequence(args.seq, args.out, args.gt, args.frames)
+        print(rep.to_json())
     else:
         rep = evaluate_synthetic_sequence(out_poses=args.out)
-    print(rep.to_json())
+        print(rep.to_json())
 
 
 if __name__ == "__main__":  # pragma: no cover

@@ -37,6 +37,20 @@ class TestSyntheticEvaluation:
 
 
 class TestKittiIO:
+    def test_fleet_evaluator(self, tmp_path):
+        # SURVEY §3.5: the sequence fleet as one sharded computation,
+        # surfaced through the user-facing eval harness
+        from limo_tpu.parallel import make_mesh
+        from limo_tpu.pipeline.evaluation import evaluate_fleet_synthetic
+        reps = evaluate_fleet_synthetic(num_sequences=2, num_frames=25,
+                                        mesh=make_mesh(8, data=2),
+                                        out_dir=str(tmp_path))
+        assert len(reps) == 2
+        for r in reps:
+            assert r.ate < 0.5, r.to_json()
+        assert (tmp_path / "00.txt").exists()
+        assert (tmp_path / "01.txt").exists()
+
     def test_calib_times_velodyne(self, tmp_path, rng):
         seq = tmp_path / "00"
         (seq / "velodyne").mkdir(parents=True)
