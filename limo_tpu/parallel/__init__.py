@@ -1,5 +1,5 @@
 from .multihost import (global_mesh, host_local_to_global, initialize,
-                        process_local_batch)
+                        pad_rows, process_local_batch)
 from .sharding import (
     DATA_AXIS, MODEL_AXIS, device_put_selection, device_put_window,
     make_mesh, make_shard_map_solver, make_sharded_solver,
@@ -9,6 +9,6 @@ from .sharding import (
 __all__ = [
     "DATA_AXIS", "MODEL_AXIS", "device_put_selection", "device_put_window",
     "global_mesh", "host_local_to_global", "initialize", "make_mesh",
-    "make_shard_map_solver", "make_sharded_solver", "process_local_batch",
+    "make_shard_map_solver", "make_sharded_solver", "pad_rows", "process_local_batch",
     "selection_shardings", "window_shardings",
 ]

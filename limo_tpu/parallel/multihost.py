@@ -42,9 +42,12 @@ def initialize(coordinator_address: Optional[str] = None,
                                    num_processes=num_processes,
                                    process_id=process_id)
         return True
-    except RuntimeError:
-        # already initialized
-        return jax.process_count() > 1
+    except RuntimeError as e:
+        # tolerate ONLY double-initialization; a failed pod bring-up must
+        # not silently degrade into N independent single-process jobs
+        if "already" in str(e).lower():
+            return jax.process_count() > 1
+        raise
 
 
 def global_mesh(data: Optional[int] = None, model: Optional[int] = None,
@@ -67,12 +70,25 @@ def global_mesh(data: Optional[int] = None, model: Optional[int] = None,
 
 
 def process_local_batch(global_batch_size: int) -> tuple:
-    """(start, stop) rows of the global fleet batch this process should
-    load — per-host sequence sharding for the data axis."""
+    """(start, stop, padded_total) rows of the global fleet batch this
+    process should load. ``make_array_from_process_local_data`` needs every
+    process to contribute an equally-sized shard, so the batch is padded up
+    to ``padded_total = ceil(B / processes) * processes``; rows with index
+    ≥ B are padding — load any valid row (e.g. replay row ``i % B``) and
+    drop those outputs, as :func:`~limo_tpu.pipeline.scan_odometry.run_fleet`
+    does for the device axis."""
     pc, pid = jax.process_count(), jax.process_index()
     per = -(-global_batch_size // pc)  # ceil
-    return min(pid * per, global_batch_size), \
-        min((pid + 1) * per, global_batch_size)
+    return pid * per, (pid + 1) * per, per * pc
+
+
+def pad_rows(x, total: int):
+    """Pad a leading-batch-axis array up to ``total`` rows by replaying
+    row 0 (companion to :func:`process_local_batch`)."""
+    x = np.asarray(x)
+    if x.shape[0] >= total:
+        return x
+    return np.concatenate([x, np.repeat(x[:1], total - x.shape[0], axis=0)])
 
 
 def host_local_to_global(local_arrays, mesh: Mesh, axis: str = "data"):

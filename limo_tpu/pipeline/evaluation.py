@@ -188,8 +188,14 @@ def main():  # pragma: no cover — manual entry
                    help="run N synthetic sequences as one sharded fleet")
     args = p.parse_args()
     if args.fleet:
+        # --out names a DIRECTORY in fleet mode (one NN.txt per sequence)
+        out_dir = None
+        if args.out and not args.out.endswith(".txt"):
+            os.makedirs(args.out, exist_ok=True)
+            out_dir = args.out
         for rep in evaluate_fleet_synthetic(args.fleet,
-                                            num_frames=args.frames or 40):
+                                            num_frames=args.frames or 40,
+                                            out_dir=out_dir):
             print(rep.to_json())
     elif args.seq:
         rep = evaluate_kitti_sequence(args.seq, args.out, args.gt, args.frames)

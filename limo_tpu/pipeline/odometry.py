@@ -53,12 +53,15 @@ class MonoOdometry:
         self._last_frame_stamp: Optional[float] = None
         self._essential_fn = None
         # diagnostics heartbeat (mono_lidar.cpp:490-507): sensor status +
-        # frame-rate watch, updated once per frame (throttled to 1 Hz wall)
+        # frame-rate watch, updated once per frame (throttled to 1 Hz wall).
+        # Frames must arrive at least at keyframe cadence but may come much
+        # faster (no upper bound); frequency is measured over frame stamps,
+        # staleness (stopped source) on the wall clock.
         self.sensor_status = SensorStatusCheck()
         self.frame_rate = FrequencyStatus(
             min_freq=1.0 / max(
                 self.cfg.keyframe_selection.time_between_keyframes_sec, 1e-3),
-            tolerance=0.5, clock=lambda: (self._last_frame_stamp or 0.0))
+            max_freq=None, tolerance=0.5)
         self.diagnostics = DiagnosticUpdater(
             hardware_id=type(self).__name__)
         self.diagnostics.add("Sensor Status", self.sensor_status)

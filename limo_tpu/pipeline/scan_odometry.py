@@ -325,10 +325,9 @@ def run_sequence(stamps, uvd_seq, valid_seq, rig, cfg, priors=None,
                     jnp.asarray(valid_seq), p, ok))
 
 
-def run_batch(stamps_b, uvd_b, valid_b, rig, cfg, priors_b=None,
-              prior_valid_b=None, dtype=jnp.float32):
-    """vmapped multi-sequence run: leading batch axis on every input —
-    the reference's serial per-sequence eval loop as one device program."""
+def _batched_run(stamps_b, uvd_b, valid_b, rig, cfg, priors_b,
+                 prior_valid_b, dtype):
+    """Shared assembly for run_batch/run_fleet: (vmapped runner, args)."""
     B, F = stamps_b.shape[0], stamps_b.shape[1]
     st = init_state(cfg.capacity, dtype)
     st_b = jax.tree_util.tree_map(lambda x: jnp.stack([x] * B), st)
@@ -337,7 +336,6 @@ def run_batch(stamps_b, uvd_b, valid_b, rig, cfg, priors_b=None,
     def one(st, stamps, uvd, valid, p, ok):
         return jax.lax.scan(step, st, (stamps, uvd, valid, p, ok))
 
-    run = jax.jit(jax.vmap(one))
     if priors_b is None:
         p_b = jnp.zeros((B, F, 7), dtype).at[..., 0].set(1.0)
         ok_b = jnp.zeros((B, F), bool)
@@ -345,9 +343,19 @@ def run_batch(stamps_b, uvd_b, valid_b, rig, cfg, priors_b=None,
         p_b = jnp.asarray(priors_b, dtype)
         ok_b = (jnp.ones((B, F), bool) if prior_valid_b is None
                 else jnp.asarray(prior_valid_b))
-    return run(st_b,
-               jnp.asarray(stamps_b, st.window.stamps.dtype),
-               jnp.asarray(uvd_b, dtype), jnp.asarray(valid_b), p_b, ok_b)
+    args = (st_b,
+            jnp.asarray(stamps_b, st.window.stamps.dtype),
+            jnp.asarray(uvd_b, dtype), jnp.asarray(valid_b), p_b, ok_b)
+    return jax.jit(jax.vmap(one)), args
+
+
+def run_batch(stamps_b, uvd_b, valid_b, rig, cfg, priors_b=None,
+              prior_valid_b=None, dtype=jnp.float32):
+    """vmapped multi-sequence run: leading batch axis on every input —
+    the reference's serial per-sequence eval loop as one device program."""
+    run, args = _batched_run(stamps_b, uvd_b, valid_b, rig, cfg,
+                             priors_b, prior_valid_b, dtype)
+    return run(*args)
 
 
 def run_fleet(mesh, stamps_b, uvd_b, valid_b, rig, cfg, priors_b=None,
@@ -375,28 +383,10 @@ def run_fleet(mesh, stamps_b, uvd_b, valid_b, rig, cfg, priors_b=None,
             priors_b = rep(np.asarray(priors_b))
             if prior_valid_b is not None:
                 prior_valid_b = rep(np.asarray(prior_valid_b))
-    Bp, F = stamps_b.shape[0], stamps_b.shape[1]
-
-    st = init_state(cfg.capacity, dtype)
-    st_b = jax.tree_util.tree_map(lambda x: jnp.stack([x] * Bp), st)
-    step = make_scan_step(rig, cfg)
-
-    def one(st, stamps, uvd, valid, p, ok):
-        return jax.lax.scan(step, st, (stamps, uvd, valid, p, ok))
-
-    shard = NamedSharding(mesh, P("data"))
-    if priors_b is None:
-        p_b = jnp.zeros((Bp, F, 7), dtype).at[..., 0].set(1.0)
-        ok_b = jnp.zeros((Bp, F), bool)
-    else:
-        p_b = jnp.asarray(priors_b, dtype)
-        ok_b = (jnp.ones((Bp, F), bool) if prior_valid_b is None
-                else jnp.asarray(prior_valid_b))
-    args = (st_b,
-            jnp.asarray(stamps_b, st.window.stamps.dtype),
-            jnp.asarray(uvd_b, dtype), jnp.asarray(valid_b), p_b, ok_b)
-    args = jax.device_put(args, shard)
-    final, outs = jax.jit(jax.vmap(one))(*args)
+    run, args = _batched_run(stamps_b, uvd_b, valid_b, rig, cfg,
+                             priors_b, prior_valid_b, dtype)
+    args = jax.device_put(args, NamedSharding(mesh, P("data")))
+    final, outs = run(*args)
     if pad:
         final = jax.tree_util.tree_map(lambda x: x[:B], final)
         outs = jax.tree_util.tree_map(lambda x: x[:B], outs)

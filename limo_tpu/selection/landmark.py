@@ -173,10 +173,13 @@ def voxel_scheme(window: Window, newest_kf: jnp.ndarray, candidates: jnp.ndarray
     # --- voxel dedup of middle candidates (fixed-grid hash + sort-unique) ---
     vx = jnp.asarray(ls.voxel_size_xyz, dtype)
     cell = jnp.floor(p / vx).astype(jnp.int32) + 1_000_00  # offset to positive
-    # uint32 spatial hash (wraparound is defined): works with or without x64
+    # uint32 spatial hash (wraparound is defined): works with or without
+    # x64. The low bit is cleared so the all-ones sentinel is unreachable
+    # by any real cell (costs 1 of 32 hash bits; collisions stay ~L²/2³¹).
     key = (cell[:, 0].astype(jnp.uint32) * jnp.uint32(73856093)
            ^ cell[:, 1].astype(jnp.uint32) * jnp.uint32(19349663)
-           ^ cell[:, 2].astype(jnp.uint32) * jnp.uint32(83492791))
+           ^ cell[:, 2].astype(jnp.uint32) * jnp.uint32(83492791)) \
+        & jnp.uint32(0xFFFFFFFE)
     sentinel = jnp.uint32(0xFFFFFFFF)
     key = jnp.where(mid_cand, key, sentinel)
     order = jnp.argsort(key)

@@ -56,33 +56,49 @@ class DiagnosticStatus:
 
 class FrequencyStatus:
     """Sliding-window event-rate check (FrequencyStatusParam analogue:
-    min/max rate, tolerance, window of 5 intervals)."""
+    min/max rate, tolerance, window of 5 intervals).
+
+    ``max_freq=None`` means no upper bound (events may legitimately arrive
+    faster than the monitored minimum — e.g. frames vs keyframe cadence).
+    Frequency is measured over the tick *stamps* (which may be sim time);
+    staleness — a stopped event source — is detected on the wall clock:
+    if no tick arrives for ``stale_after`` wall seconds the check reports
+    STALE regardless of the frozen stamp window."""
 
     def __init__(self, min_freq: float, max_freq: Optional[float] = None,
                  tolerance: float = 0.1, window_size: int = 5,
+                 stale_after: Optional[float] = None,
                  clock: Callable[[], float] = time.monotonic):
         self.min_freq = min_freq
-        self.max_freq = max_freq if max_freq is not None else min_freq
+        self.max_freq = max_freq
         self.tolerance = tolerance
+        self.stale_after = (stale_after if stale_after is not None
+                            else 3.0 / max(min_freq, 1e-9))
         self._clock = clock
         self._ticks: deque = deque(maxlen=window_size + 1)
+        self._last_wall: Optional[float] = None
 
     def tick(self, stamp: Optional[float] = None) -> None:
-        self._ticks.append(self._clock() if stamp is None else stamp)
+        self._last_wall = self._clock()
+        self._ticks.append(self._last_wall if stamp is None else stamp)
 
     def __call__(self, status: DiagnosticStatus) -> None:
         if len(self._ticks) < 2:
             status.summary(STALE, "No events recorded")
             return
+        idle = self._clock() - self._last_wall
         span = self._ticks[-1] - self._ticks[0]
         events = len(self._ticks) - 1
         freq = events / span if span > 0 else float("inf")
         status.add("measured_frequency_hz", f"{freq:.3f}")
         status.add("window_events", events)
-        if freq < self.min_freq * (1.0 - self.tolerance):
+        if idle > self.stale_after:
+            status.summary(STALE, f"No events for {idle:.1f} s")
+        elif freq < self.min_freq * (1.0 - self.tolerance):
             status.summary(WARN, f"Frequency too low: {freq:.3f} Hz "
                                  f"< {self.min_freq:.3f} Hz")
-        elif freq > self.max_freq * (1.0 + self.tolerance):
+        elif (self.max_freq is not None
+              and freq > self.max_freq * (1.0 + self.tolerance)):
             status.summary(WARN, f"Frequency too high: {freq:.3f} Hz "
                                  f"> {self.max_freq:.3f} Hz")
         else:
@@ -108,7 +124,8 @@ class DiagnosticUpdater:
         self._checks: List[tuple] = []
         self._last_update: Optional[float] = None
         self.last_statuses: List[DiagnosticStatus] = []
-        self.history: List[List[dict]] = []
+        # bounded: long-lived nodes update once a second for hours
+        self.history: deque = deque(maxlen=256)
 
     def set_hardware_id(self, hw: str) -> None:
         self.hardware_id = hw

@@ -25,8 +25,17 @@ def test_global_mesh_layout():
 
 
 def test_process_local_batch_single():
-    s, e = process_local_batch(11)
-    assert (s, e) == (0, 11)
+    s, e, total = process_local_batch(11)
+    assert (s, e, total) == (0, 11, 11)
+
+
+def test_pad_rows():
+    from limo_tpu.parallel import pad_rows
+    x = np.arange(6).reshape(3, 2)
+    p = pad_rows(x, 5)
+    assert p.shape == (5, 2)
+    np.testing.assert_array_equal(p[3], x[0])
+    np.testing.assert_array_equal(pad_rows(x, 3), x)
 
 
 def test_host_local_to_global_matches_device_put():
