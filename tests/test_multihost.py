@@ -1,6 +1,8 @@
 """Multi-host helper tests (single-process degradation; the process-spanning
 behavior follows jax.distributed semantics and is exercised on pods)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -48,6 +50,40 @@ def test_host_local_to_global_matches_device_put():
     tree = {"a": x, "b": x + 1}
     gt = host_local_to_global(tree, mesh)
     np.testing.assert_array_equal(np.asarray(gt["b"]), x + 1)
+
+
+def test_two_process_distributed_cpu():
+    """REAL multi-process run (SURVEY §4: 'multi-node behavior should be
+    tested with jax multi-host-on-CPU mesh simulation'): two jax.distributed
+    processes × 4 CPU devices each build the global mesh, assemble a padded
+    per-host batch via process_local_batch/host_local_to_global, and psum
+    across hosts."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    worker = os.path.join(os.path.dirname(__file__), "mh_worker.py")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), "2", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env={k: v for k, v in os.environ.items()
+             if k not in ("XLA_FLAGS", "JAX_PLATFORMS")})
+        for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-2000:]}"
+        assert "global sum ok" in out, out[-2000:]
 
 
 def test_fleet_through_global_machinery():
