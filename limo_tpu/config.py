@@ -149,6 +149,53 @@ def default_config() -> LimoConfig:
     return LimoConfig()
 
 
+def load_label_sets(path: str):
+    """Load semantic label sets from the reference's YAML layout
+    (``res/outlier_labels.yaml``: ``outlier_labels``/``shrubbery_labels``
+    int lists + optional ``labels`` id→name map), with the same
+    missing-field error as ``loadSetFromYaml``
+    (general_helpers.hpp:31-42). Returns (outliers, shrubbery, names)."""
+    import yaml
+
+    with open(path) as f:
+        root = yaml.safe_load(f)
+    out = {}
+    for field_name in ("outlier_labels", "shrubbery_labels"):
+        v = root.get(field_name)
+        if not isinstance(v, list):
+            raise ValueError(
+                f"LabelReader: vector {field_name} not defined.")
+        out[field_name] = frozenset(int(x) for x in v)
+    names = {int(k): str(v) for k, v in (root.get("labels") or {}).items()}
+    return out["outlier_labels"], out["shrubbery_labels"], names
+
+
+def config_from_yaml(path: str, base: Optional[LimoConfig] = None) -> LimoConfig:
+    """Overlay a nested YAML file onto the config tree — the replacement for
+    the reference's launch-file param layering over .rosif defaults
+    (``launch/keyframe_ba_monolid.launch:38-63``). Top-level keys name the
+    sub-configs (``robust``, ``solver``, ...); unknown keys raise."""
+    import yaml
+
+    with open(path) as f:
+        overrides = yaml.safe_load(f) or {}
+    cfg = base or LimoConfig()
+    valid_groups = {f.name for f in dataclasses.fields(LimoConfig)}
+    updates = {}
+    for group, kv in overrides.items():
+        if group not in valid_groups:
+            raise ValueError(f"unknown config group {group!r} "
+                             f"(valid: {sorted(valid_groups)})")
+        sub = getattr(cfg, group)
+        field_names = {f.name for f in dataclasses.fields(sub)}
+        bad = set(kv) - field_names
+        if bad:
+            raise ValueError(f"unknown keys {sorted(bad)} in group {group!r}")
+        kv = {k: tuple(v) if isinstance(v, list) else v for k, v in kv.items()}
+        updates[group] = dataclasses.replace(sub, **kv)
+    return dataclasses.replace(cfg, **updates)
+
+
 def kitti_config() -> LimoConfig:
     """Values from ``launch/keyframe_ba_monolid.launch`` (production KITTI)."""
     cfg = LimoConfig(

@@ -1,0 +1,126 @@
+"""Parameter grid search — the reference's KITTI tuning harness
+(``res/tune_parameters_kitti.py:3-17``: nested loop over
+depth_thres × reprojection_thres × shrubbery_weight, each point re-running
+``kitti_eval_script.sh`` over all sequences and collecting drift).
+
+Here each grid point is one config (``dataclasses.replace`` on the frozen
+tree) evaluated by a pluggable callable — the synthetic system gate by
+default, or :func:`evaluate_kitti_sequence` when a dataset is present.
+Loss-scale changes are compile-time constants of the fused solver, so each
+point pays one (cached) compile, exactly like the reference pays a full
+rosbag replay per point.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import json
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional, Sequence
+
+from ..config import LimoConfig
+
+# the reference sweep (tune_parameters_kitti.py:4-6)
+REFERENCE_DEPTH_THRES = (0.1, 0.11, 0.12, 0.13, 0.14, 0.15, 0.16, 0.17, 0.18, 0.19)
+REFERENCE_REPR_THRES = (1.0, 1.1, 1.2, 1.3, 1.4, 1.5, 1.6, 1.7, 1.8, 2.0)
+REFERENCE_SHRUBBERY = (0.9,)
+
+
+@dataclass
+class GridPoint:
+    depth_thres: float
+    reprojection_thres: float
+    shrubbery_weight: float
+    ate: float
+    drift_t: float
+    drift_r: float
+
+    def to_json(self) -> str:
+        return json.dumps({
+            "depth_thres": self.depth_thres,
+            "reprojection_thres": self.reprojection_thres,
+            "shrubbery_weight": self.shrubbery_weight,
+            "ate_m": round(self.ate, 5),
+            "t_err_percent": round(self.drift_t, 5),
+            "r_err_deg_per_m": round(self.drift_r, 7),
+        })
+
+
+def apply_point(cfg: LimoConfig, depth_thres: float, reprojection_thres: float,
+                shrubbery_weight: float) -> LimoConfig:
+    """One grid point as a config (the dynamic_reconfigure set of
+    ``kitti_eval_script.sh:64-66``)."""
+    return dataclasses.replace(
+        cfg,
+        robust=dataclasses.replace(cfg.robust, depth_thres=depth_thres,
+                                   reprojection_thres=reprojection_thres),
+        regularization=dataclasses.replace(
+            cfg.regularization, shrubbery_weight=shrubbery_weight))
+
+
+def grid_search(evaluate: Optional[Callable[[LimoConfig], Dict[str, float]]] = None,
+                depth_thres: Sequence[float] = REFERENCE_DEPTH_THRES,
+                reprojection_thres: Sequence[float] = REFERENCE_REPR_THRES,
+                shrubbery_weights: Sequence[float] = REFERENCE_SHRUBBERY,
+                base_cfg: Optional[LimoConfig] = None,
+                key: str = "t_err_percent",
+                verbose: bool = False) -> List[GridPoint]:
+    """Sweep the reference's tuning grid; returns points sorted best-first by
+    ``key`` (translation drift by default, ATE fallback when drift is NaN).
+
+    ``evaluate(cfg) -> {"ate_m", "t_err_percent", "r_err_deg_per_m"}`` runs
+    one full evaluation; defaults to the synthetic system gate."""
+    if evaluate is None:
+        evaluate = _default_evaluate
+    base = base_cfg or LimoConfig()
+    out: List[GridPoint] = []
+    for d, r, w in itertools.product(depth_thres, reprojection_thres,
+                                     shrubbery_weights):
+        rep = evaluate(apply_point(base, d, r, w))
+        pt = GridPoint(d, r, w, ate=rep.get("ate_m", float("nan")),
+                       drift_t=rep.get("t_err_percent", float("nan")),
+                       drift_r=rep.get("r_err_deg_per_m", float("nan")))
+        out.append(pt)
+        if verbose:
+            print(pt.to_json())
+
+    def score(p: GridPoint) -> float:
+        v = {"t_err_percent": p.drift_t, "r_err_deg_per_m": p.drift_r,
+             "ate_m": p.ate}[key]
+        if v != v:  # NaN → fall back to ATE, then +inf
+            v = p.ate if p.ate == p.ate else float("inf")
+        return v
+
+    return sorted(out, key=score)
+
+
+def _default_evaluate(cfg: LimoConfig, num_frames: int = 40,
+                      seed: int = 0) -> Dict[str, float]:
+    from .evaluation import evaluate_synthetic_sequence
+    rep = evaluate_synthetic_sequence(num_frames=num_frames, seed=seed, cfg=cfg)
+    return {"ate_m": rep.ate, **rep.drift}
+
+
+def main():  # pragma: no cover — manual entry
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--depth", type=float, nargs="+",
+                   default=list(REFERENCE_DEPTH_THRES))
+    p.add_argument("--repr", dest="repr_", type=float, nargs="+",
+                   default=list(REFERENCE_REPR_THRES))
+    p.add_argument("--shrubbery", type=float, nargs="+",
+                   default=list(REFERENCE_SHRUBBERY))
+    p.add_argument("--frames", type=int, default=40)
+    args = p.parse_args()
+    pts = grid_search(
+        evaluate=lambda cfg: _default_evaluate(cfg, num_frames=args.frames),
+        depth_thres=args.depth, reprojection_thres=args.repr_,
+        shrubbery_weights=args.shrubbery, verbose=True)
+    print("# best:")
+    print(pts[0].to_json())
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -54,6 +54,29 @@ def color_by_index_hsv(ids, num_colors: int = 16) -> np.ndarray:
     return out
 
 
+def flow_image(ba, shape=(600, 1300), num_colors: int = 10) -> np.ndarray:
+    """Debug image of the window's measurements — the reference's
+    ``getFlowImg`` (general_helpers.hpp:148-168): for every active keyframe,
+    a dot at each landmark's (u,v) in its first camera, colored
+    deterministically by landmark id. Returns an [H,W,3] uint8 RGB image."""
+    h, w = shape
+    img = np.zeros((h, w, 3), np.uint8)
+    for s in ba._kf_order:
+        m = ba._obs_mask[:, s, 0]
+        slots = np.flatnonzero(m & (ba._lm_id >= 0))
+        if slots.size == 0:
+            continue
+        uv = np.round(ba._obs[slots, s, 0, :2]).astype(np.int64)
+        cols = color_by_index_hsv(ba._lm_id[slots], num_colors).astype(np.uint8)
+        # radius-1 filled circle ≈ plus-shaped 5-pixel stamp
+        for du, dv in ((0, 0), (1, 0), (-1, 0), (0, 1), (0, -1)):
+            u = uv[:, 0] + du
+            v = uv[:, 1] + dv
+            ok = (u >= 0) & (u < w) & (v >= 0) & (v < h)
+            img[v[ok], u[ok]] = cols[ok]
+    return img
+
+
 def write_ply(path: str, points: np.ndarray,
               colors: Optional[np.ndarray] = None) -> None:
     n = points.shape[0]
