@@ -56,13 +56,17 @@ def evaluate_kitti_sequence(seq_dir: str, out_poses: str,
     pipe = LimoPipeline(rig, cfg)
     n = len(seq) if max_frames is None else min(max_frames, len(seq))
     Tr = calib.Tr_cam_velo
-    t0 = time.time()
-    for i in range(n):
+
+    def load(i):
         img = seq.load_image(i)
         velo = seq.load_velodyne(i)
         # velodyne → cam0 (= vehicle) frame
         cloud = (velo[:, :3] @ Tr[:3, :3].T) + Tr[:3, 3]
-        pipe.process(seq.times[i], img, cloud)
+        return seq.times[i], img, cloud
+
+    from .executor import run_pipelined
+    t0 = time.time()
+    run_pipelined(pipe, range(n), load)
     dt = time.time() - t0
     est = pipe.poses_kitti()
     kitti.write_poses(out_poses, est)
