@@ -158,7 +158,7 @@ def load_label_sets(path: str):
     import yaml
 
     with open(path) as f:
-        root = yaml.safe_load(f)
+        root = yaml.safe_load(f) or {}
     out = {}
     for field_name in ("outlier_labels", "shrubbery_labels"):
         v = root.get(field_name)
@@ -187,6 +187,7 @@ def config_from_yaml(path: str, base: Optional[LimoConfig] = None) -> LimoConfig
             raise ValueError(f"unknown config group {group!r} "
                              f"(valid: {sorted(valid_groups)})")
         sub = getattr(cfg, group)
+        kv = kv or {}  # a group header with no keys is a no-op
         field_names = {f.name for f in dataclasses.fields(sub)}
         bad = set(kv) - field_names
         if bad:

@@ -9,6 +9,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from typing import List, Optional
 
 import numpy as np
@@ -18,6 +19,10 @@ _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
 _LIB_PATH = os.path.join(_NATIVE_DIR, "liblimo_native.so")
 
 _lib = None
+# build + dlopen must be serialized: prefetch workers (pipeline/executor)
+# can hit a cold get_lib concurrently, and two parallel `make`s would
+# CDLL a half-written .so
+_lib_lock = threading.Lock()
 
 
 def _build() -> bool:
@@ -33,9 +38,17 @@ def get_lib():
     global _lib
     if _lib is not None:
         return _lib or None
-    if not os.path.exists(_LIB_PATH) and not _build():
-        _lib = False
-        return None
+    with _lib_lock:
+        if _lib is not None:
+            return _lib or None
+        if not os.path.exists(_LIB_PATH) and not _build():
+            _lib = False
+            return None
+        return _load_lib()
+
+
+def _load_lib():
+    global _lib
     lib = ctypes.CDLL(_LIB_PATH)
     lib.ln_read_velodyne.restype = ctypes.c_int64
     lib.ln_read_velodyne.argtypes = [ctypes.c_char_p,

@@ -71,6 +71,8 @@ def grid_search(evaluate: Optional[Callable[[LimoConfig], Dict[str, float]]] = N
 
     ``evaluate(cfg) -> {"ate_m", "t_err_percent", "r_err_deg_per_m"}`` runs
     one full evaluation; defaults to the synthetic system gate."""
+    if key not in ("t_err_percent", "r_err_deg_per_m", "ate_m"):
+        raise ValueError(f"unknown sort key {key!r}")  # before any evaluation
     if evaluate is None:
         evaluate = _default_evaluate
     base = base_cfg or LimoConfig()
@@ -85,12 +87,14 @@ def grid_search(evaluate: Optional[Callable[[LimoConfig], Dict[str, float]]] = N
         if verbose:
             print(pt.to_json())
 
-    def score(p: GridPoint) -> float:
+    def score(p: GridPoint):
         v = {"t_err_percent": p.drift_t, "r_err_deg_per_m": p.drift_r,
              "ate_m": p.ate}[key]
-        if v != v:  # NaN → fall back to ATE, then +inf
-            v = p.ate if p.ate == p.ate else float("inf")
-        return v
+        if v == v:
+            return (0, v)
+        # no valid measurement on the requested metric: rank strictly after
+        # every valid point (tie-broken by ATE when finite)
+        return (1, p.ate if p.ate == p.ate else float("inf"))
 
     return sorted(out, key=score)
 

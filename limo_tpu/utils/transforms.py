@@ -36,6 +36,8 @@ class TransformTree:
         T = np.asarray(T, np.float64)
         if T.shape != (4, 4):
             raise ValueError(f"expected 4x4 transform, got {T.shape}")
+        # latest broadcast wins regardless of orientation (tf2 semantics)
+        self._edges.pop((child, parent), None)
         self._edges[(parent, child)] = T
         self._adj.setdefault(parent, [])
         self._adj.setdefault(child, [])
@@ -48,12 +50,9 @@ class TransformTree:
         """T(a ← b) along a registered edge, inverting if stored reversed."""
         if (a, b) in self._edges:
             return self._edges[(a, b)]
-        T = self._edges[(b, a)]
-        R = T[:3, :3].T
-        out = np.eye(4)
-        out[:3, :3] = R
-        out[:3, 3] = -R @ T[:3, 3]
-        return out
+        # general 4x4 inverse: edges are only shape-checked, so do not
+        # assume the rotation block is orthonormal
+        return np.linalg.inv(self._edges[(b, a)])
 
     def lookup(self, target: str, source: str) -> np.ndarray:
         """T(target ← source), chaining through the frame graph (BFS) —

@@ -58,6 +58,28 @@ class TestGridSearch:
         d = json.loads(p.to_json())
         assert d["depth_thres"] == 0.1 and d["t_err_percent"] == 0.8
 
+    def test_invalid_key_raises_before_evaluating(self):
+        def must_not_run(cfg):
+            raise AssertionError("evaluated despite bad key")
+
+        with pytest.raises(ValueError, match="unknown sort key"):
+            grid_search(evaluate=must_not_run, key="t_err")
+
+    def test_nan_drift_ranks_after_valid_drift(self):
+        """A diverged point (NaN drift, tiny ATE) must not outrank a healthy
+        config when sorting on drift."""
+        def fake_eval(cfg):
+            if cfg.robust.depth_thres == 0.1:  # "diverged" point
+                return {"ate_m": 0.001, "t_err_percent": float("nan"),
+                        "r_err_deg_per_m": float("nan")}
+            return {"ate_m": 5.0, "t_err_percent": 2.0,
+                    "r_err_deg_per_m": 0.01}
+
+        pts = grid_search(evaluate=fake_eval, depth_thres=(0.1, 0.2),
+                          reprojection_thres=(1.0,), shrubbery_weights=(0.9,))
+        assert pts[0].depth_thres == 0.2  # valid drift wins
+        assert pts[-1].depth_thres == 0.1
+
 
 class TestYamlConfig:
     LABELS_YAML = ("outlier_labels: [0, 1, 2, 3, 5, 24, 25, 26, -1]\n"
@@ -102,6 +124,17 @@ class TestYamlConfig:
         assert cfg.window.max_size_optimization_window == 12
         assert cfg.landmark_selection.voxel_size_xyz == (0.4, 0.4, 0.2)
 
+    def test_empty_yaml_files(self, tmp_path):
+        from limo_tpu.config import config_from_yaml, load_label_sets
+        p = tmp_path / "empty.yaml"
+        p.write_text("# nothing here\n")
+        with pytest.raises(ValueError, match="outlier_labels not defined"):
+            load_label_sets(str(p))
+        cfg = config_from_yaml(str(p))          # empty overlay = defaults
+        assert cfg.robust.depth_thres == 0.16
+        p.write_text("robust:\n")               # group header, no keys
+        assert config_from_yaml(str(p)).robust.depth_thres == 0.16
+
     def test_config_overlay_rejects_unknown(self, tmp_path):
         from limo_tpu.config import config_from_yaml
         p = tmp_path / "bad.yaml"
@@ -145,6 +178,24 @@ class TestTransformTree:
         # aliased subtree is disconnected from the source tree
         with pytest.raises(TransformLookupError):
             tree.lookup("world", "estimate/camera")
+
+    def test_reverse_rebroadcast_wins(self):
+        """Latest set_transform wins even in the opposite orientation."""
+        tree = TransformTree()
+        T1 = self._T(0.0, (1, 0, 0))
+        T2 = self._T(0.0, (0, 99, 0))
+        tree.set_transform("a", "b", T1)
+        tree.set_transform("b", "a", T2)
+        np.testing.assert_allclose(tree.lookup("b", "a"), T2, atol=1e-12)
+        np.testing.assert_allclose(tree.lookup("a", "b"), np.linalg.inv(T2),
+                                   atol=1e-12)
+
+    def test_non_rigid_edge_inverts_exactly(self):
+        tree = TransformTree()
+        S = np.diag([2.0, 2.0, 2.0, 1.0])  # scale passes the shape check
+        tree.set_transform("a", "b", S)
+        np.testing.assert_allclose(tree.lookup("b", "a"),
+                                   np.diag([0.5, 0.5, 0.5, 1.0]), atol=1e-12)
 
     def test_unknown_frame_raises(self):
         tree = TransformTree()
