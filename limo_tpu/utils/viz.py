@@ -150,19 +150,26 @@ def accumulate_map(poses_kitti: np.ndarray, clouds, T_cam_sensor: np.ndarray,
     map — the ``pointcloud plotting/accumulate_lidar_pcl_from_trajectory_
     estimate.py`` equivalent (each scan transformed by pose · T_cam_sensor).
 
-    clouds: iterable of [N,3] arrays aligned with poses. Voxel-dedups."""
-    seen = set()
-    pts_out = []
+    clouds: iterable of [N,3] arrays aligned with poses. Voxel-dedups
+    (first point per voxel wins, in scan order), capped at ``max_pts``."""
+    all_pts = []
+    all_keys = []
     for pose, cloud in zip(poses_kitti, clouds):
         T = pose @ T_cam_sensor
         p = cloud[:, :3] @ T[:3, :3].T + T[:3, 3]
-        keys = np.floor(p / voxel).astype(np.int64)
-        for k, q in zip(map(tuple, keys), p):
-            if k not in seen:
-                seen.add(k)
-                pts_out.append(q)
-            if len(pts_out) >= max_pts:
-                break
-    arr = np.asarray(pts_out) if pts_out else np.zeros((0, 3))
+        cell = np.floor(p / voxel).astype(np.int64)
+        # pack 3 cell coords into one int64 key (21 bits each, signed)
+        k = ((cell[:, 0] & 0x1FFFFF) << 42) | ((cell[:, 1] & 0x1FFFFF) << 21) \
+            | (cell[:, 2] & 0x1FFFFF)
+        all_pts.append(p)
+        all_keys.append(k)
+    if not all_pts:
+        write_ply(out_ply, np.zeros((0, 3)))
+        return 0
+    pts = np.concatenate(all_pts)
+    keys = np.concatenate(all_keys)
+    _, first = np.unique(keys, return_index=True)
+    first.sort()  # keep first-come (scan) order
+    arr = pts[first[:max_pts]]
     write_ply(out_ply, arr)
     return arr.shape[0]
