@@ -226,7 +226,13 @@ class FeatureTracker:
             remap = np.full(prev_valid.shape[0], -1, np.int64)
             remap[prev_valid] = np.arange(int(prev_valid.sum()))
             pm = np.where(pm >= 0, remap[np.clip(pm, 0, None)], -1)
-        depths = depth_fn(uv_v) if depth_fn is not None else None
+        if depth_fn is not None:
+            # fixed-shape call (full uv, valid-compact after): a varying
+            # feature count would recompile the jitted depth program per
+            # frame — measured ~0.5 s/frame over a remote TPU link
+            depths = np.asarray(depth_fn(uv))[valid]
+        else:
+            depths = None
         self.builder.push_frame(stamp, uv_v, pm, depths)
         self._prev = feats
 

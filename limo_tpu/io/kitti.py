@@ -136,5 +136,6 @@ def pose7_to_kitti(poses7: np.ndarray) -> np.ndarray:
 
     The reference dumps T_cam_origin = pose⁻¹ per frame
     (mono_lidar.cpp:275-300)."""
-    inv = np.asarray(pose_ops.to_matrix(pose_ops.inverse(jnp.asarray(poses7))))
-    return inv
+    from ..geometry import pose_host
+    p = np.asarray(poses7, np.float64)
+    return pose_host.to_matrix(pose_host.inverse(p))

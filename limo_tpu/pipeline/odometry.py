@@ -23,6 +23,7 @@ import numpy as np
 from ..config import LimoConfig
 from ..frontend.essential import estimate_essential, motion_prior_unscaled
 from ..geometry import pose as pose_ops
+from ..geometry import pose_host as ph
 from ..geometry import quaternion as quat
 from ..selection import select_keyframe
 from ..utils.diagnostics import (DiagnosticUpdater, FrequencyStatus,
@@ -51,7 +52,8 @@ class MonoOdometry:
         self.trajectory: List[FrameResult] = []
         self._last_solve_stamp: Optional[float] = None
         self._last_frame_stamp: Optional[float] = None
-        self._essential_fn = None
+        self._prior_fn = None
+        self._kf_select_fn = None
         # diagnostics heartbeat (mono_lidar.cpp:490-507): sensor status +
         # frame-rate watch, updated once per frame (throttled to 1 Hz wall).
         # Frames must arrive at least at keyframe cadence but may come much
@@ -89,50 +91,61 @@ class MonoOdometry:
         (t0, p0), (t1, p1) = kfs[-2], kfs[-1]
         if t1 <= t0:
             return self.cfg.prior.default_speed
-        d = np.asarray(pose_ops.relative(jnp.asarray(p1), jnp.asarray(p0)))
+        d = ph.relative(p1, p0)
         return float(np.linalg.norm(d[4:]) / (t1 - t0))
+
+    def _padded_matches(self, tracklets: Tracklets, stamp_a: float,
+                        stamp_b: float):
+        """_matches padded/truncated to landmark capacity — fixed shapes
+        keep the jit caches stable (one compile, one dispatch per frame)."""
+        m = self._matches(tracklets, stamp_a, stamp_b)
+        if m is None:
+            return None
+        uv_a, uv_b, mask = m
+        N = self.cfg.capacity.max_landmarks
+        n = uv_a.shape[0]
+        if n < N:
+            pad = ((0, N - n), (0, 0))
+            return (np.pad(uv_a, pad), np.pad(uv_b, pad),
+                    np.pad(mask, (0, N - n)))
+        return uv_a[:N], uv_b[:N], mask[:N]
 
     def _motion_prior(self, tracklets: Tracklets, stamp: float) -> np.ndarray:
         """5-point-equivalent prior: essential matrix between the current
         frame and the last keyframe, translation scaled by speed·Δt."""
         kfs = self.adjuster.keyframe_poses()
         last_stamp, last_pose = kfs[-1]
-        m = self._matches(tracklets, stamp, last_stamp)
+        m = self._padded_matches(tracklets, stamp, last_stamp)
         if m is None or int(m[2].sum()) < 8:
             return last_pose  # no matches: assume no motion
         uv_new, uv_old, mask = m
-        if self._essential_fn is None:
+        if self._prior_fn is None:
             pc = self.cfg.prior
+            rig, dtype = self.rig, self.dtype
 
             @jax.jit
-            def _ess(uv0, uv1, mask, f, pp):
-                return estimate_essential(uv0, uv1, mask, f, pp,
-                                          num_hypotheses=pc.num_hypotheses,
-                                          thres_px=pc.ransac_thres_px,
-                                          min_flow_px=pc.min_flow_px)
+            def _prior(uv0, uv1, mask, speed, dt, last_pose):
+                """essential → unit motion → speed·Δt scaling → vehicle
+                frame → compose with the last keyframe pose; ONE dispatch."""
+                f = rig.focal[0].astype(dtype)
+                pp = rig.principal[0].astype(dtype)
+                res = estimate_essential(uv0, uv1, mask, f, pp,
+                                         num_hypotheses=pc.num_hypotheses,
+                                         thres_px=pc.ransac_thres_px,
+                                         min_flow_px=pc.min_flow_px)
+                delta = motion_prior_unscaled(
+                    res, rig.T_cam_veh[0].astype(dtype), speed, dt)
+                return pose_ops.compose(delta, last_pose)
 
-            self._essential_fn = _ess
-        f = jnp.asarray(float(self.rig.focal[0]), self.dtype)
-        pp = jnp.asarray(np.asarray(self.rig.principal[0]), self.dtype)
-        # pad to fixed shape for stable jit cache
-        N = self.cfg.capacity.max_landmarks
-        n = uv_new.shape[0]
-        if n < N:
-            pad = ((0, N - n), (0, 0))
-            uv_new = np.pad(uv_new, pad)
-            uv_old = np.pad(uv_old, pad)
-            mask = np.pad(mask, (0, N - n))
-        else:
-            uv_new, uv_old, mask = uv_new[:N], uv_old[:N], mask[:N]
-        res = self._essential_fn(jnp.asarray(uv_old, self.dtype),
-                                 jnp.asarray(uv_new, self.dtype),
-                                 jnp.asarray(mask), f, pp)
+            self._prior_fn = _prior
         dt = max(stamp - last_stamp, 1e-3)
-        delta = motion_prior_unscaled(res, self.rig.T_cam_veh[0].astype(self.dtype),
-                                      self._speed_estimate(), dt)
-        # prior pose: T_cur_origin = T_cur_prev ∘ T_prev_origin
-        return np.asarray(pose_ops.compose(delta, jnp.asarray(last_pose, self.dtype)),
-                          np.float64)
+        out = self._prior_fn(jnp.asarray(uv_old, self.dtype),
+                             jnp.asarray(uv_new, self.dtype),
+                             jnp.asarray(mask),
+                             jnp.asarray(self._speed_estimate(), self.dtype),
+                             jnp.asarray(dt, self.dtype),
+                             jnp.asarray(last_pose, self.dtype))
+        return np.asarray(out, np.float64)
 
     # ------------------------------------------------------------------
 
@@ -159,19 +172,24 @@ class MonoOdometry:
         # ---- keyframe selection ----------------------------------------
         kfs = self.adjuster.keyframe_poses()
         last_stamp, last_pose = kfs[-1]
-        m = self._matches(tracklets, stamp, last_stamp)
+        m = self._padded_matches(tracklets, stamp, last_stamp)
         if m is not None:
             uv_new, uv_old, mmask = m
         else:
-            uv_new = uv_old = np.zeros((1, 2))
-            mmask = np.zeros((1,), bool)
-        decision = select_keyframe(
+            N = cfg.capacity.max_landmarks
+            uv_new = uv_old = np.zeros((N, 2))
+            mmask = np.zeros((N,), bool)
+        if self._kf_select_fn is None:
+            scfg, dtype = cfg, self.dtype
+            self._kf_select_fn = jax.jit(
+                lambda uv_n, uv_o, mk, qn, qo, s, ls: select_keyframe(
+                    uv_n, uv_o, mk, qn, qo, s, ls, scfg))
+        decision = self._kf_select_fn(
             jnp.asarray(uv_new, self.dtype), jnp.asarray(uv_old, self.dtype),
             jnp.asarray(mmask),
             jnp.asarray(pose_adj[:4], self.dtype),
             jnp.asarray(last_pose[:4], self.dtype),
-            jnp.asarray(stamp, self.dtype), jnp.asarray(last_stamp, self.dtype),
-            cfg)
+            jnp.asarray(stamp, self.dtype), jnp.asarray(last_stamp, self.dtype))
         is_kf = bool(decision.is_keyframe)
 
         solved = False
@@ -209,7 +227,7 @@ class MonoOdometry:
         """Per-frame KITTI 4×4 matrices (origin←frame), dump-format
         equivalent of mono_lidar.cpp:275-300."""
         arr = np.stack([f.pose for f in self.trajectory])
-        return np.asarray(pose_ops.to_matrix(pose_ops.inverse(jnp.asarray(arr))))
+        return ph.to_matrix(ph.inverse(arr))
 
 
 class LidarOdometry(MonoOdometry):

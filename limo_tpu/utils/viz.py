@@ -118,12 +118,10 @@ def export_landmarks(ba, path: str, categories: Optional[np.ndarray] = None
 def export_paths(ba, path: str) -> None:
     """Full + active trajectory (publishPaths equivalent: poses inverted to
     origin ← keyframe)."""
-    import jax.numpy as jnp
-
-    from ..geometry import pose as pose_ops
+    from ..geometry import pose_host
 
     def inv(p):
-        return np.asarray(pose_ops.inverse(jnp.asarray(p)))
+        return pose_host.inverse(np.asarray(p, np.float64))
 
     full = [{"stamp": float(st), "position": inv(p)[4:].tolist()}
             for st, p in sorted(ba._archive.items())]

@@ -22,6 +22,7 @@ import numpy as np
 
 from .config import LimoConfig
 from .geometry import pose as pose_np
+from .geometry import pose_host as ph
 from .pipeline.tracklets import Tracklets
 from .selection import add_depth_scheme, cheirality_mask, voxel_scheme
 from .solver import pose_only_step, run_lm, solve_trimmed
@@ -47,11 +48,75 @@ class KeyframeNotFoundException(Exception):
 
 
 def _np_pose_inv(p):
-    return np.asarray(pose_np.inverse(jnp.asarray(p)))
+    return ph.inverse(np.asarray(p, np.float64))
 
 
 def _np_pose_apply(p, x):
-    return np.asarray(pose_np.apply(jnp.asarray(p), jnp.asarray(x)))
+    return ph.apply(np.asarray(p, np.float64), np.asarray(x, np.float64))
+
+
+def selection_for_solve(window: Window, newest, k0, k1, lm_outlier, rig, cfg
+                        ) -> Tuple[Selection, jnp.ndarray]:
+    """Landmark selection + solve wiring as a pure jittable function.
+
+    Mirrors the reference solve()'s selector stack: outlier flags →
+    cheirality → voxel sparsification → AddDepth(gp) guarantees; then the
+    scale / groundplane regularization weight logic (:703-728).
+
+    newest/k0/k1: slots of the newest and two oldest active keyframes
+    (traced scalars). Returns (Selection, voxel categories [L])."""
+    keep = cheirality_mask(window, rig) & (~lm_outlier) & window.lm_valid
+    vox = voxel_scheme(window, newest, keep, cfg)
+    selected = vox.selected
+    selected = add_depth_scheme(
+        window, selected, keep & window.lm_is_gp,
+        cfg.landmark_selection.min_number_landmarks_gp)
+    selected = selected & keep
+
+    # gp residual wiring: nearest active keyframe with enabled plane,
+    # weight 10*(1 − d/25) when d < 25 (addGroundPlaneResiduals :517-562)
+    kf_pos = jax.vmap(lambda q: pose_np.translation(pose_np.inverse(q)))(window.poses)
+    d_all = jnp.linalg.norm(window.lm_pos[:, None] - kf_pos[None], axis=-1)
+    d_all = jnp.where((window.kf_valid & window.plane_valid)[None], d_all, jnp.inf)
+    gp_kf = jnp.argmin(d_all, axis=1).astype(jnp.int32)
+    d_min = jnp.min(d_all, axis=1)
+    gmax = cfg.regularization.gp_max_distance
+    gp_w = jnp.where(d_min < gmax,
+                     cfg.regularization.gp_height_weight * (1.0 - d_min / gmax),
+                     0.0).astype(window.lm_pos.dtype)
+    gp_w = jnp.where(window.lm_is_gp & selected, gp_w, 0.0)
+
+    # scale logic (:703-728): counts decide regularization weight
+    depth_cnt = jnp.sum((window.obs_mask & (window.obs[..., 2] > 0)
+                         & selected[:, None, None]
+                         & window.lm_has_depth[:, None, None]
+                         & window.kf_valid[None, :, None]).astype(jnp.int32))
+    gp_cnt = jnp.sum((gp_w > 0).astype(jnp.int32))
+    observed = (depth_cnt > 10) | (gp_cnt > 10)
+    reg = cfg.regularization
+    scale_w = jnp.where(
+        observed,
+        jnp.where(gp_cnt < 30,
+                  reg.scale_reg_weight_observed_base
+                  / jnp.maximum(depth_cnt + gp_cnt, 1).astype(window.lm_pos.dtype),
+                  0.0),
+        reg.scale_reg_weight_unobserved)
+    # two oldest active keyframes anchor the scale
+    t0 = pose_np.translation(pose_np.relative(window.poses[k1], window.poses[k0]))
+    target = jnp.linalg.norm(t0)
+    plane_dist_fixed = depth_cnt < 10  # :731-737
+
+    sel = Selection(
+        lm_selected=selected,
+        gp_kf=gp_kf,
+        gp_weight=gp_w,
+        scale_kf0=jnp.asarray(k0, jnp.int32),
+        scale_kf1=jnp.asarray(k1, jnp.int32),
+        scale_target=target.astype(window.lm_pos.dtype),
+        scale_weight=scale_w.astype(window.lm_pos.dtype),
+        plane_dist_fixed=plane_dist_fixed,
+    )
+    return sel, vox.category
 
 
 def _triangulate_np(rays, centers):
@@ -221,8 +286,7 @@ class BundleAdjuster:
         # continue; the landmark is re-attempted while measurements accrue)
         for tid, slot in new_ids:
             cam = cam_of[tid]
-            T_origin_cam = _np_pose_inv(np.asarray(pose_np.compose(
-                jnp.asarray(tcv[cam]), jnp.asarray(self._poses[s]))))
+            T_origin_cam = ph.inverse(ph.compose(tcv[cam], self._poses[s]))
             u, v, d = self._obs[slot, s, cam]
             if d >= 0:
                 # containsDepth path (:37-48): backproject at measured depth
@@ -262,12 +326,10 @@ class BundleAdjuster:
                 if not self._obs_mask[slot, s, c]:
                     continue
                 u, v, _ = self._obs[slot, s, c]
-                T_cam_origin = np.asarray(pose_np.compose(
-                    jnp.asarray(tcv[c]), jnp.asarray(self._poses[s])))
-                T_origin_cam = _np_pose_inv(T_cam_origin)
+                T_origin_cam = ph.inverse(ph.compose(tcv[c], self._poses[s]))
                 ray_cam = np.array([(u - pp[c, 0]) / f[c], (v - pp[c, 1]) / f[c], 1.0])
                 ray_cam /= np.linalg.norm(ray_cam)
-                R = np.asarray(pose_np.to_matrix(jnp.asarray(T_origin_cam)))[:3, :3]
+                R = ph.qto_matrix(T_origin_cam[:4])
                 rays.append(R @ ray_cam)
                 centers.append(T_origin_cam[4:])
         if len(rays) < 2:
@@ -378,70 +440,22 @@ class BundleAdjuster:
     # ------------------------------------------------------------------
 
     def build_selection(self, window: Window) -> Selection:
-        """Landmark selection + solve wiring, all device-side.
-
-        Mirrors solve()'s selector stack: outlier flags → cheirality →
-        voxel sparsification → AddDepth(gp) guarantees; then the scale /
-        groundplane regularization weight logic (:703-728)."""
-        cfg = self.cfg
-        newest = jnp.asarray(self._kf_order[-1], jnp.int32)
-        not_outlier = ~jnp.asarray(self._lm_outlier)
-        keep = cheirality_mask(window, self.rig) & not_outlier & window.lm_valid
-        vox = voxel_scheme(window, newest, keep, cfg)
-        selected = vox.selected
-        selected = add_depth_scheme(
-            window, selected, keep & window.lm_is_gp,
-            cfg.landmark_selection.min_number_landmarks_gp)
-        selected = selected & keep
-        self._last_categories = vox.category
-
-        # gp residual wiring: nearest active keyframe with enabled plane,
-        # weight 10*(1 − d/25) when d < 25 (addGroundPlaneResiduals :517-562)
-        kf_pos = jax.vmap(lambda q: pose_np.translation(pose_np.inverse(q)))(window.poses)
-        d_all = jnp.linalg.norm(window.lm_pos[:, None] - kf_pos[None], axis=-1)
-        d_all = jnp.where((window.kf_valid & window.plane_valid)[None], d_all, jnp.inf)
-        gp_kf = jnp.argmin(d_all, axis=1).astype(jnp.int32)
-        d_min = jnp.min(d_all, axis=1)
-        gmax = cfg.regularization.gp_max_distance
-        gp_w = jnp.where(d_min < gmax,
-                         cfg.regularization.gp_height_weight * (1.0 - d_min / gmax),
-                         0.0).astype(window.lm_pos.dtype)
-        gp_w = jnp.where(window.lm_is_gp & selected, gp_w, 0.0)
-
-        # scale logic (:703-728): counts decide regularization weight
-        depth_cnt = jnp.sum((window.obs_mask & (window.obs[..., 2] > 0)
-                             & selected[:, None, None]
-                             & window.lm_has_depth[:, None, None]
-                             & window.kf_valid[None, :, None]).astype(jnp.int32))
-        gp_cnt = jnp.sum((gp_w > 0).astype(jnp.int32))
-        observed = (depth_cnt > 10) | (gp_cnt > 10)
-        reg = cfg.regularization
-        scale_w = jnp.where(
-            observed,
-            jnp.where(gp_cnt < 30,
-                      reg.scale_reg_weight_observed_base
-                      / jnp.maximum(depth_cnt + gp_cnt, 1).astype(window.lm_pos.dtype),
-                      0.0),
-            reg.scale_reg_weight_unobserved)
-        # two oldest active keyframes anchor the scale
-        k0 = jnp.asarray(self._kf_order[0], jnp.int32)
-        k1 = jnp.asarray(self._kf_order[min(1, len(self._kf_order) - 1)], jnp.int32)
-        t0 = pose_np.translation(pose_np.relative(window.poses[k1], window.poses[k0]))
-        target = jnp.linalg.norm(t0)
-        plane_dist_fixed = depth_cnt < 10  # :731-737
-
-        return Selection(
-            lm_selected=selected,
-            gp_kf=gp_kf,
-            gp_weight=gp_w,
-            scale_kf0=k0, scale_kf1=k1,
-            scale_target=target.astype(window.lm_pos.dtype),
-            scale_weight=scale_w.astype(window.lm_pos.dtype),
-            plane_dist_fixed=plane_dist_fixed,
-        )
+        """Landmark selection + solve wiring (device-side); see
+        :func:`selection_for_solve`. Stores the voxel categories."""
+        sel, cat = selection_for_solve(
+            window,
+            jnp.asarray(self._kf_order[-1], jnp.int32),
+            jnp.asarray(self._kf_order[0], jnp.int32),
+            jnp.asarray(self._kf_order[min(1, len(self._kf_order) - 1)],
+                        jnp.int32),
+            jnp.asarray(self._lm_outlier), self.rig, self.cfg)
+        self._last_categories = cat
+        return sel
 
     def solve(self):
-        """Landmark selection → trimmed windowed BA → writeback.
+        """Landmark selection → trimmed windowed BA → writeback, ONE fused
+        device dispatch (selection + solve compiled together: the eager
+        selection stack cost ~9 s per solve over a remote TPU link).
 
         Raises NotEnoughKeyframesException below 3 keyframes (reference
         :630-632)."""
@@ -453,13 +467,22 @@ class BundleAdjuster:
             cfg, rig = self.cfg, self.rig
 
             @jax.jit
-            def _solve(window, sel):
-                return solve_trimmed(window, sel, rig, cfg)
+            def _solve(window, newest, k0, k1, lm_outlier):
+                sel, cat = selection_for_solve(window, newest, k0, k1,
+                                               lm_outlier, rig, cfg)
+                w2, sel2, info = solve_trimmed(window, sel, rig, cfg)
+                return w2, sel2, info, cat
 
             self._solve_fn = _solve
-        sel = self.build_selection(window)
-        w2, sel2, info = self._solve_fn(window, sel)
+        w2, sel2, info, cat = self._solve_fn(
+            window,
+            jnp.asarray(self._kf_order[-1], jnp.int32),
+            jnp.asarray(self._kf_order[0], jnp.int32),
+            jnp.asarray(self._kf_order[min(1, len(self._kf_order) - 1)],
+                        jnp.int32),
+            jnp.asarray(self._lm_outlier))
         self._writeback(w2)
+        self._last_categories = np.asarray(cat)
         self._last_selection = np.asarray(sel2.lm_selected)
         return info
 
@@ -500,19 +523,15 @@ class BundleAdjuster:
         speed_reg = None
         s0 = self._kf_order[-1]
         s1 = self._kf_order[-2]
-        rot = float(np.asarray(pose_np.rotation(jnp.asarray(self._poses[s0]))) @ np.array([1, 0, 0, 0]))
-        from .geometry import quaternion as quat
-        rot_diff = float(np.asarray(quat.qangle(
-            jnp.asarray(self._poses[s0][:4]), jnp.asarray(self._poses[s1][:4]))))
+        rot_diff = float(ph.qangle(self._poses[s0][:4], self._poses[s1][:4]))
         if rot_diff < self.cfg.regularization.speed_reg_rotation_gate:
             weight = 1.0 * (1.0 - rot_diff / self.cfg.regularization.speed_reg_rotation_gate)
             dt_before = self._stamps[s0] - self._stamps[s1]
             dt_cur = stamp - self._stamps[s0]
             if dt_cur > 0 and dt_before > 0:
                 p_before_inv = _np_pose_inv(self._poses[s0])
-                vel = np.asarray(pose_np.translation(pose_np.compose(
-                    jnp.asarray(self._poses[s0]),
-                    jnp.asarray(_np_pose_inv(self._poses[s1]))))) / dt_before
+                vel = ph.translation(ph.compose(
+                    self._poses[s0], ph.inverse(self._poses[s1]))) / dt_before
                 speed_reg = (jnp.asarray(p_before_inv, self.dtype),
                              jnp.asarray(vel, self.dtype),
                              jnp.asarray(dt_cur, self.dtype),

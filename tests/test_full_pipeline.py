@@ -97,7 +97,8 @@ class TestFullStack:
                 prior=dataclasses.replace(PriorConfig(), default_speed=8.0)),
             tracker=TrackerConfig(max_features=256, border=8),
             lidar=LidarDepthConfig(),
-            use_groundplane=True, gp_band=(-2.5, -1.0))
+            use_groundplane=True, gp_band=(-2.5, -1.0),
+            cloud_capacity=8192)
         pipe = LimoPipeline(rig, cfg, dtype=jnp.float64)
 
         for i in range(n_frames):

@@ -80,7 +80,7 @@ class TestKittiSequenceEval:
                 prior=dataclasses.replace(PriorConfig(), default_speed=8.0)),
             tracker=TrackerConfig(max_features=256, border=8),
             lidar=LidarDepthConfig(),
-            use_groundplane=False)
+            use_groundplane=False, cloud_capacity=16384)
         out = str(tmp_path / "poses.txt")
         rep = evaluate_kitti_sequence(root, out, gt_path, cfg=cfg)
 
