@@ -196,6 +196,30 @@ def match(cur: Features, prev: Features,
                        n_matches=jnp.sum(good.astype(jnp.int32)))
 
 
+_EMPTY_FEATURES_CACHE: dict = {}
+
+
+def _empty_features(cfg: TrackerConfig) -> Features:
+    """Zero-filled Features placeholder (first frame has no prev)."""
+    N = cfg.max_features
+    D = 3 * cfg.patch * cfg.patch  # intensity + gx + gy per pixel
+    return Features(uv=jnp.zeros((N, 2), jnp.float32),
+                    response=jnp.zeros((N,), jnp.float32),
+                    desc=jnp.zeros((N, D), jnp.float32),
+                    valid=jnp.zeros((N,), bool))
+
+
+@partial(jax.jit, static_argnames=("cfg", "has_prev"))
+def _detect_and_match(img, prev, cfg: TrackerConfig, has_prev: bool):
+    """detect + match fused into one program — one dispatch per frame
+    instead of two (each dispatch is a round trip on remote TPU links)."""
+    feats = detect(img, cfg)
+    if has_prev:
+        m = match(feats, prev, cfg)
+        return feats, m.prev_index
+    return feats, jnp.full((cfg.max_features,), -1, jnp.int32)
+
+
 class FeatureTracker:
     """Host-side wrapper: detect → match → feed TrackletBuilder."""
 
@@ -210,19 +234,26 @@ class FeatureTracker:
                 depth_fn=None) -> None:
         """img: [H,W] grayscale float. depth_fn: optional callable
         (uv [N,2] → depths [N]) — the lidar depth hook."""
-        feats = detect(jnp.asarray(img, jnp.float32), self.cfg)
-        if self._prev is not None:
-            m = match(feats, self._prev, self.cfg)
-            prev_match = np.asarray(m.prev_index)
+        has_prev = self._prev is not None
+        if has_prev:
+            prev = self._prev
         else:
-            prev_match = np.full((self.cfg.max_features,), -1, np.int64)
-        uv = np.asarray(feats.uv)
-        valid = np.asarray(feats.valid)
+            key = (self.cfg.max_features, self.cfg.patch)
+            if key not in _EMPTY_FEATURES_CACHE:
+                _EMPTY_FEATURES_CACHE[key] = _empty_features(self.cfg)
+            prev = _EMPTY_FEATURES_CACHE[key]
+        feats, pm_dev = _detect_and_match(
+            jnp.asarray(img, jnp.float32), prev, self.cfg, has_prev)
+        # one batched fetch for everything the host loop needs
+        uv, valid, prev_match = jax.device_get(
+            (feats.uv, feats.valid, pm_dev))
+        prev_match = prev_match.astype(np.int64)
         uv_v = uv[valid]
         pm = prev_match[valid]
         # remap prev indices to the previous frame's *valid-compacted* order
-        if self._prev is not None:
-            prev_valid = np.asarray(self._prev.valid)
+        # (previous valid mask cached on host — no extra device fetch)
+        if has_prev:
+            prev_valid = self._prev_valid_np
             remap = np.full(prev_valid.shape[0], -1, np.int64)
             remap[prev_valid] = np.arange(int(prev_valid.sum()))
             pm = np.where(pm >= 0, remap[np.clip(pm, 0, None)], -1)
@@ -235,6 +266,7 @@ class FeatureTracker:
             depths = None
         self.builder.push_frame(stamp, uv_v, pm, depths)
         self._prev = feats
+        self._prev_valid_np = valid
 
     def tracklets(self, window: int | None = None):
         return self.builder.to_tracklets(window)
