@@ -17,9 +17,6 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from ..geometry import pose as pose_ops
-import jax.numpy as jnp
-
 
 @dataclass
 class KittiCalib:

@@ -102,6 +102,7 @@ class LimoPipeline:
         self.odometry = LidarOdometry(rig, cfg.limo, dtype)
         self._T_cam_veh = np.asarray(rig.T_cam_veh[0], np.float64)
         self._image_size: Optional[tuple] = None
+        self._warned_cloud_cap = False
         # optional per-stage wall timing — the reference's "duration ..."
         # chrono prints (mono_lidar.cpp:90-371); pass utils.StageTimer
         self.timer = timer
@@ -128,9 +129,17 @@ class LimoPipeline:
                 # pad to the fixed capacity (host, cheap) so the fused depth
                 # program never recompiles on varying scan sizes
                 cap = self.cfg.cloud_capacity
-                pts = np.asarray(cloud_veh[:, :3], np.float32)[:cap]
+                if cloud_veh.shape[0] > cap and not self._warned_cloud_cap:
+                    self._warned_cloud_cap = True
+                    import warnings
+                    warnings.warn(
+                        f"lidar scan has {cloud_veh.shape[0]} points; "
+                        f"truncating to cloud_capacity={cap} — raise "
+                        "LimoPipelineConfig.cloud_capacity to keep the tail")
+                np_dt = np.float64 if self.dtype == jnp.float64 else np.float32
+                pts = np.asarray(cloud_veh[:, :3], np_dt)[:cap]
                 n = pts.shape[0]
-                buf = np.zeros((cap, 3), np.float32)
+                buf = np.zeros((cap, 3), np_dt)
                 buf[:n] = pts
                 cloud_pad = jnp.asarray(buf, self.dtype)
                 vmask = np.zeros((cap,), bool)

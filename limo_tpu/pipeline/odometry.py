@@ -103,12 +103,17 @@ class MonoOdometry:
             return None
         uv_a, uv_b, mask = m
         N = self.cfg.capacity.max_landmarks
-        n = uv_a.shape[0]
-        if n < N:
-            pad = ((0, N - n), (0, 0))
-            return (np.pad(uv_a, pad), np.pad(uv_b, pad),
-                    np.pad(mask, (0, N - n)))
-        return uv_a[:N], uv_b[:N], mask[:N]
+        # keep MATCHED rows (mask-first): a naive head-truncate would keep
+        # the lowest track ids — mostly dead tracks on long sequences —
+        # and silently starve the flow/essential/keyframe gates
+        idx = np.flatnonzero(mask)[:N]
+        out_a = np.zeros((N, 2), uv_a.dtype)
+        out_b = np.zeros((N, 2), uv_b.dtype)
+        out_m = np.zeros((N,), bool)
+        out_a[:idx.size] = uv_a[idx]
+        out_b[:idx.size] = uv_b[idx]
+        out_m[:idx.size] = True
+        return out_a, out_b, out_m
 
     def _motion_prior(self, tracklets: Tracklets, stamp: float) -> np.ndarray:
         """5-point-equivalent prior: essential matrix between the current
@@ -184,12 +189,15 @@ class MonoOdometry:
             self._kf_select_fn = jax.jit(
                 lambda uv_n, uv_o, mk, qn, qo, s, ls: select_keyframe(
                     uv_n, uv_o, mk, qn, qo, s, ls, scfg))
+        # pass (Δt, 0) not absolute stamps: epoch-style stamps (~1.7e9 s)
+        # quantize to ~256 s in float32, which would break the time gate
+        dt_kf = float(stamp) - float(last_stamp)
         decision = self._kf_select_fn(
             jnp.asarray(uv_new, self.dtype), jnp.asarray(uv_old, self.dtype),
             jnp.asarray(mmask),
             jnp.asarray(pose_adj[:4], self.dtype),
             jnp.asarray(last_pose[:4], self.dtype),
-            jnp.asarray(stamp, self.dtype), jnp.asarray(last_stamp, self.dtype))
+            jnp.asarray(dt_kf, self.dtype), jnp.asarray(0.0, self.dtype))
         is_kf = bool(decision.is_keyframe)
 
         solved = False

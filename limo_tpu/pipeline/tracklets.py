@@ -102,6 +102,12 @@ class TrackletBuilder:
         new_live: Dict[int, int] = {}
         prev_index_to_id = {v: k for k, v in self._live.items()}
         self._stamps.insert(0, stamp)
+        # bound the stamp window at max_track_length (the native table does
+        # the same, limo_native.cpp:112-113) — an unbounded stamp list made
+        # keep_window grow with total frames, so dead tracks were NEVER
+        # garbage-collected and to_tracklets() grew without bound
+        if len(self._stamps) > self.max_track_length:
+            del self._stamps[self.max_track_length:]
         for t in self._tracks.values():
             for obs in t:
                 obs[0] += 1  # ages of stamp indices shift

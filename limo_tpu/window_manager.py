@@ -439,17 +439,22 @@ class BundleAdjuster:
     # solve — reference :629-767 (+ §3.2 call stack)
     # ------------------------------------------------------------------
 
+    def _anchor_slots(self):
+        """(newest, oldest, second-oldest) active keyframe slots as traced
+        int32 scalars — the selection/scale anchors."""
+        return (jnp.asarray(self._kf_order[-1], jnp.int32),
+                jnp.asarray(self._kf_order[0], jnp.int32),
+                jnp.asarray(self._kf_order[min(1, len(self._kf_order) - 1)],
+                            jnp.int32))
+
     def build_selection(self, window: Window) -> Selection:
         """Landmark selection + solve wiring (device-side); see
         :func:`selection_for_solve`. Stores the voxel categories."""
+        newest, k0, k1 = self._anchor_slots()
         sel, cat = selection_for_solve(
-            window,
-            jnp.asarray(self._kf_order[-1], jnp.int32),
-            jnp.asarray(self._kf_order[0], jnp.int32),
-            jnp.asarray(self._kf_order[min(1, len(self._kf_order) - 1)],
-                        jnp.int32),
+            window, newest, k0, k1,
             jnp.asarray(self._lm_outlier), self.rig, self.cfg)
-        self._last_categories = cat
+        self._last_categories = np.asarray(cat)
         return sel
 
     def solve(self):
@@ -474,16 +479,20 @@ class BundleAdjuster:
                 return w2, sel2, info, cat
 
             self._solve_fn = _solve
+        newest, k0, k1 = self._anchor_slots()
         w2, sel2, info, cat = self._solve_fn(
-            window,
-            jnp.asarray(self._kf_order[-1], jnp.int32),
-            jnp.asarray(self._kf_order[0], jnp.int32),
-            jnp.asarray(self._kf_order[min(1, len(self._kf_order) - 1)],
-                        jnp.int32),
-            jnp.asarray(self._lm_outlier))
-        self._writeback(w2)
+            window, newest, k0, k1, jnp.asarray(self._lm_outlier))
+        # ONE batched fetch for everything the host mirrors need (each
+        # separate np.asarray on a device array is a blocking round trip)
+        poses, lm_pos, planes, selected, cat = jax.device_get(
+            (w2.poses, w2.lm_pos, w2.planes, sel2.lm_selected, cat))
+        act = self._kf_valid
+        self._poses[act] = np.asarray(poses, np.float64)[act]
+        self._planes[act] = np.asarray(planes, np.float64)[act]
+        known = self._lm_valid & self._lm_known
+        self._lm_pos[known] = np.asarray(lm_pos, np.float64)[known]
         self._last_categories = np.asarray(cat)
-        self._last_selection = np.asarray(sel2.lm_selected)
+        self._last_selection = np.asarray(selected)
         return info
 
     # ------------------------------------------------------------------

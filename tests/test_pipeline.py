@@ -110,3 +110,70 @@ class TestMetrics:
         q[:, 0, 3] *= 0.95  # 5% scale error
         out = kitti_drift(p, q)
         assert abs(out["t_err_percent"] - 5.0) < 0.5
+
+
+class TestTrackletBuilderBounds:
+    def test_dead_tracks_garbage_collected(self):
+        """Regression: an unbounded stamp list made keep_window grow with
+        total frames, so dead tracks were never GC'd and the track table
+        (and to_tracklets row count) grew without bound."""
+        from limo_tpu.pipeline.tracklets import TrackletBuilder
+
+        b = TrackletBuilder(max_track_length=10)
+        n_per = 8
+        for t in range(300):
+            # every frame spawns all-new tracks (prev_match = -1)
+            uv = np.random.default_rng(t).uniform(0, 100, (n_per, 2))
+            b.push_frame(float(t), uv, np.full((n_per,), -1, np.int64))
+        assert len(b._stamps) <= 10
+        # live + dead-within-window tracks only: bounded, not 300*8
+        assert len(b._tracks) <= n_per * 10
+        tl = b.to_tracklets()
+        assert tl.uvd.shape[0] <= n_per * 10
+
+    def test_long_tracks_survive(self):
+        from limo_tpu.pipeline.tracklets import TrackletBuilder
+
+        b = TrackletBuilder(max_track_length=10)
+        uv = np.array([[5.0, 5.0]])
+        b.push_frame(0.0, uv)
+        for t in range(1, 30):
+            b.push_frame(float(t), uv + t, np.array([0]))
+        tl = b.to_tracklets()
+        assert tl.uvd.shape[0] == 1          # one continuous track
+        assert int(tl.age[0]) >= 9           # capped history, still old
+
+
+class TestPaddedMatches:
+    def test_matched_rows_survive_truncation(self):
+        """Regression: head-truncation at capacity kept the lowest track
+        ids (dead tracks) and starved the flow/essential gates."""
+        import dataclasses as dc
+        import jax.numpy as jnp
+        from limo_tpu.config import CapacityConfig, LimoConfig
+        from limo_tpu.geometry.camera import CameraRig
+        from limo_tpu.pipeline.odometry import MonoOdometry
+        from limo_tpu.pipeline.tracklets import Tracklets
+
+        cap = 16
+        cfg = LimoConfig(capacity=CapacityConfig(max_keyframes=5,
+                                                 max_landmarks=cap,
+                                                 max_cameras=1))
+        odo = MonoOdometry(CameraRig.single(100.0, 50.0, 50.0), cfg)
+        n = 64  # tracks exceed capacity; only the LAST few are matched
+        uvd = np.zeros((n, 2, 3))
+        uvd[..., 2] = -1.0
+        mask = np.zeros((n, 2), bool)
+        mask[-8:, :] = True                 # newest (highest-id) tracks
+        uvd[-8:, :, :2] = np.random.default_rng(0).uniform(10, 90, (8, 2, 2))
+        tl = Tracklets(stamps=np.array([1.0, 0.0]), uvd=uvd,
+                       mask=mask, ids=np.arange(n, dtype=np.int64),
+                       age=np.zeros(n, np.int32),
+                       is_outlier=np.zeros(n, bool),
+                       label=np.full(n, -2, np.int32))
+        out = odo._padded_matches(tl, 1.0, 0.0)
+        assert out is not None
+        uv_a, uv_b, m = out
+        assert uv_a.shape == (cap, 2) and m.shape == (cap,)
+        assert int(m.sum()) == 8            # ALL matched rows kept
+        assert np.all(uv_a[m] > 0)          # and they carry the real pixels
