@@ -125,6 +125,69 @@ def batch_evaluate_synthetic(num_sequences: int = 4, **kw) -> List[SequenceRepor
             for s in range(num_sequences)]
 
 
+def evaluate_long_drive(num_frames: int = 1200, speed: float = 10.0,
+                        landmark_rows: int = 768, seed: int = 0,
+                        landmarks_per_m: float = 4.0,
+                        ground_per_m: float = 1.0,
+                        cfg: Optional[LimoConfig] = None,
+                        dtype=jnp.float32,
+                        out_poses: Optional[str] = None) -> SequenceReport:
+    """Kilometre-scale drift evaluation — the real KITTI-leaderboard metric
+    (translation %% / rotation °/m over 100–800 m segments, the number the
+    reference reports as ≈0.93 %% on KITTI, README.md:44-57).
+
+    An S-curve drive of ``num_frames``/10 Hz at ``speed`` m/s runs through
+    the compiled scan-odometry program; the world holds far more landmarks
+    than the window's row capacity — rows are packed/reused via
+    :func:`~limo_tpu.pipeline.synthetic.dense_tracks_packed`, exercising the
+    scan program's landmark GC + re-initialization over hundreds of window
+    generations.
+    """
+    import jax
+
+    from ..config import CapacityConfig
+    from . import scan_odometry as so
+    from .synthetic import dense_tracks_packed, make_world
+
+    hz = 10.0
+    path_m = num_frames / hz * speed
+    # S-curves: two yaw-rate sine periods over the drive, peak ~0.012 rad/m
+    t = np.arange(num_frames) / num_frames
+    yaw_profile = 0.012 * np.sin(2 * np.pi * 2.0 * t)
+    world = make_world(num_frames=num_frames, hz=hz, speed=speed,
+                       n_landmarks=int(landmarks_per_m * path_m),
+                       n_ground=int(ground_per_m * path_m), seed=seed,
+                       yaw_rate_profile=yaw_profile)
+    cfg = cfg or LimoConfig(capacity=CapacityConfig(
+        max_keyframes=12, max_landmarks=landmark_rows, max_cameras=1))
+    K = cfg.capacity.max_keyframes
+    kf_dt = cfg.keyframe_selection.time_between_keyframes_sec
+    gap = int(np.ceil((K + 3) * max(kf_dt, 1.0 / hz) * hz))
+    stamps, uvd, valid, n_dropped, _ = dense_tracks_packed(
+        world, landmark_rows, reuse_gap_frames=gap, with_depth=True,
+        seed=seed + 100)
+    if n_dropped:
+        print(f"[long-drive] WARNING: {n_dropped} landmarks dropped "
+              f"(row capacity {landmark_rows} saturated)")
+    rig = CameraRig.single(world.focal, world.principal[0],
+                           world.principal[1],
+                           T_cam_veh=jnp.asarray(world.T_cam_veh, dtype),
+                           dtype=dtype)
+    t0 = time.time()
+    _, outs = so.run_sequence(stamps, uvd, valid, rig, cfg, dtype=dtype)
+    jax.block_until_ready(outs.pose)
+    dt = time.time() - t0
+    est = so.poses_kitti(outs)
+    gt = world.kitti_gt()
+    if out_poses:
+        kitti.write_poses(out_poses, est)
+    return SequenceReport(name=f"longdrive-{seed}-{int(path_m)}m",
+                          n_frames=num_frames,
+                          fps=num_frames / max(dt, 1e-9),
+                          ate=ate_rmse(gt, est),
+                          drift=kitti_drift(gt, est))
+
+
 def evaluate_fleet_synthetic(num_sequences: int = 4, num_frames: int = 40,
                              mesh=None, landmark_rows: int = 512,
                              cfg: Optional[LimoConfig] = None,
@@ -190,8 +253,14 @@ def main():  # pragma: no cover — manual entry
     p.add_argument("--frames", type=int, default=None)
     p.add_argument("--fleet", type=int, default=0,
                    help="run N synthetic sequences as one sharded fleet")
+    p.add_argument("--longdrive", type=int, default=0,
+                   help="kilometre-scale drift eval over N frames (10 Hz)")
     args = p.parse_args()
-    if args.fleet:
+    if args.longdrive:
+        rep = evaluate_long_drive(num_frames=args.longdrive,
+                                  out_poses=args.out)
+        print(rep.to_json())
+    elif args.fleet:
         # --out names a DIRECTORY in fleet mode (one NN.txt per sequence)
         out_dir = None
         if args.out and not args.out.endswith(".txt"):

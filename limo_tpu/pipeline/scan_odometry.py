@@ -151,7 +151,10 @@ def _push_keyframe(window: Window, slot, stamp, pose, uvd, valid, rig, cfg):
     lm_pos = jnp.where(init_depth[:, None], p_origin,
                        jnp.where(init_tri[:, None], tri_pos, window.lm_pos))
     lm_valid = window.lm_valid | init_depth | init_tri
-    lm_has_depth = jnp.where(init_depth, True, window.lm_has_depth) \
+    # a freshly initialized row resets lm_has_depth (row slots are reused
+    # after GC on long drives — the previous occupant's flag must not leak)
+    lm_has_depth = jnp.where(init_depth | init_tri, init_depth,
+                             window.lm_has_depth) \
         | (lm_valid & valid & (d > 0))
 
     # GC: rows with no observation left in the window lose their landmark

@@ -55,13 +55,21 @@ def make_world(num_frames: int = 60, hz: float = 10.0, speed: float = 10.0,
                yaw_rate: float = 0.02, n_landmarks: int = 600,
                n_ground: int = 200, seed: int = 0,
                focal: float = 718.0, pp=(607.0, 185.0),
-               image_size=(1241, 376), cam_height: float = 1.65
+               image_size=(1241, 376), cam_height: float = 1.65,
+               yaw_rate_profile: Optional[np.ndarray] = None
                ) -> SyntheticWorld:
     """Vehicle drives forward (+x) with a gentle yaw; landmarks populate a
-    corridor along the path; ground points lie on z = -cam_height."""
+    corridor along the path; ground points lie on z = -cam_height.
+
+    ``yaw_rate_profile`` ([num_frames] rad/m) overrides the constant
+    ``yaw_rate`` — S-curves for kilometre-scale drives that shouldn't close
+    into a circle."""
     rng = np.random.default_rng(seed)
     dt = 1.0 / hz
     stamps = np.arange(num_frames) * dt
+    yr = (np.full(num_frames, yaw_rate) if yaw_rate_profile is None
+          else np.asarray(yaw_rate_profile, np.float64))
+    assert yr.shape == (num_frames,)
 
     # integrate vehicle pose (origin←vehicle), then store inverse (veh←origin)
     T = np.eye(4)
@@ -77,7 +85,7 @@ def make_world(num_frames: int = 60, hz: float = 10.0, speed: float = 10.0,
         m[:3, 3] = pos
         poses.append(np.asarray(pose_ops.inverse(pose_ops.from_matrix(jnp.asarray(m)))))
         pos = pos + R @ np.array([speed * dt, 0, 0])
-        heading += yaw_rate * dt * speed
+        heading += yr[i] * dt * speed
     poses_veh = np.stack(poses)
 
     # landmark corridor bent along the integrated path (so long, curving
@@ -85,6 +93,7 @@ def make_world(num_frames: int = 60, hz: float = 10.0, speed: float = 10.0,
     # path (extended ~40 m past the end), then offset laterally in the local
     # heading frame
     ext_frames = int(40.0 / (speed * dt)) + 1
+    yr_ext = np.concatenate([yr, np.full(ext_frames, yr[-1])])
     path_pos = np.zeros((num_frames + ext_frames, 3))
     path_head = np.zeros(num_frames + ext_frames)
     p, h = np.zeros(3), 0.0
@@ -93,7 +102,7 @@ def make_world(num_frames: int = 60, hz: float = 10.0, speed: float = 10.0,
         R = np.array([[np.cos(h), -np.sin(h), 0],
                       [np.sin(h), np.cos(h), 0], [0, 0, 1.0]])
         p = p + R @ np.array([speed * dt, 0, 0])
-        h += yaw_rate * dt * speed
+        h += yr_ext[i] * dt * speed
 
     def along_path(n, lat_lo, lat_hi, z_lo, z_hi):
         t = rng.uniform(0, len(path_pos) - 1, n)
@@ -205,29 +214,133 @@ def dense_tracks(world: SyntheticWorld, num_rows: int,
     F_n = world.poses_veh.shape[0]
     M = world.landmarks.shape[0]
     assert M <= num_rows, (M, num_rows)
+    del rng, F_n  # recomputed below (kept for signature clarity)
+    return _dense_tracks_impl(world, num_rows, None, pixel_noise, depth_noise,
+                              with_depth, depth_fraction, max_range, seed)[:3]
+
+
+def dense_tracks_packed(world: SyntheticWorld, num_rows: int,
+                        reuse_gap_frames: int,
+                        pixel_noise: float = 0.3, depth_noise: float = 0.03,
+                        with_depth: bool = True, depth_fraction: float = 0.6,
+                        max_range: float = 80.0, seed: int = 1,
+                        min_run: int = 3):
+    """Row-*packed* dense tracks for long drives: the world may contain far
+    more landmarks than ``num_rows``.
+
+    Each landmark's visibility is split into contiguous *runs* — exactly
+    what a frame-to-frame tracker does: a feature lost and later re-found
+    becomes a NEW track (viso2 contract, §2.12). Runs shorter than
+    ``min_run`` frames are discarded (tracker persistence). Runs are then
+    assigned rows by greedy interval scheduling (first-fit on the
+    earliest-free row); a row is reused only once its previous occupant's
+    last observation is at least ``reuse_gap_frames`` old — i.e. guaranteed
+    evicted from the scan program's keyframe ring, so a reused row never
+    mixes observations of two different 3D points.
+
+    Returns (stamps [F], uvd [F,R,3], valid [F,R], n_dropped, runs [N,4])
+    where ``n_dropped`` counts runs that found no free row (size
+    ``num_rows`` so this stays 0) and ``runs`` rows are
+    (landmark index, first frame, last frame, assigned row).
+    """
+    return _dense_tracks_impl(world, num_rows, reuse_gap_frames, pixel_noise,
+                              depth_noise, with_depth, depth_fraction,
+                              max_range, seed, min_run)
+
+
+def _dense_tracks_impl(world, num_rows, reuse_gap_frames, pixel_noise,
+                       depth_noise, with_depth, depth_fraction, max_range,
+                       seed, min_run: int = 3):
+    import heapq
+
+    import jax
+
+    rng = np.random.default_rng(seed)
+    F_n = world.poses_veh.shape[0]
+    M = world.landmarks.shape[0]
     W, H = world.image_size
     f, pp = world.focal, world.principal
     tcv = jnp.asarray(world.T_cam_veh)
 
+    has_depth_row = rng.uniform(size=M) < depth_fraction
+    lms = jnp.asarray(world.landmarks)
+
+    # clean projections for all frames in one device call
+    p_cam_all = np.asarray(jax.vmap(
+        lambda pv: pose_ops.apply(tcv, pose_ops.apply(pv, lms)))(
+            jnp.asarray(world.poses_veh)))                     # [F,M,3]
+    z_all = p_cam_all[..., 2]
+    ok_z = z_all > 0.5
+    uv_all = np.zeros((F_n, M, 2))
+    np.divide(f * p_cam_all[..., :2], z_all[..., None], out=uv_all,
+              where=ok_z[..., None])
+    vis = ok_z & (uv_all[..., 0] + pp[0] >= 0) & (uv_all[..., 0] + pp[0] < W) \
+        & (uv_all[..., 1] + pp[1] >= 0) & (uv_all[..., 1] + pp[1] < H) \
+        & (z_all < max_range)
+    uv_all += pp
+
+    # ---- row assignment ------------------------------------------------
+    n_dropped = 0
     uvd = np.zeros((F_n, num_rows, 3), np.float64)
     uvd[..., 2] = -1.0
     valid = np.zeros((F_n, num_rows), bool)
-    has_depth_row = rng.uniform(size=M) < depth_fraction
 
-    lms = jnp.asarray(world.landmarks)
+    if reuse_gap_frames is None:                 # identity (dense_tracks)
+        assert M <= num_rows, (M, num_rows)
+        row_of = np.arange(M)
+        for i in range(F_n):
+            uv = uv_all[i] + rng.normal(0, pixel_noise, (M, 2))
+            uvd[i, :M, :2] = uv
+            if with_depth:
+                d = z_all[i] + rng.normal(0, depth_noise, M)
+                uvd[i, :M, 2] = np.where(vis[i] & has_depth_row, d, -1.0)
+            valid[i, :M] = vis[i]
+        return world.stamps.copy(), uvd, valid, n_dropped, row_of
+
+    # split visibility into contiguous runs (tracker re-labels re-found
+    # features as new tracks)
+    padded = np.zeros((F_n + 2, M), np.int8)
+    padded[1:-1] = vis
+    dpad = np.diff(padded, axis=0)
+    sf, sm = np.nonzero(dpad == 1)               # run start frames/landmarks
+    ef, em = np.nonzero(dpad == -1)              # run end(+1) frames/landmarks
+    so_ = np.lexsort((sf, sm))
+    eo_ = np.lexsort((ef, em))
+    m_r, first_r, last_r = sm[so_], sf[so_], ef[eo_] - 1
+    assert (m_r == em[eo_]).all()
+    keep = (last_r - first_r + 1) >= min_run
+    m_r, first_r, last_r = m_r[keep], first_r[keep], last_r[keep]
+
+    # greedy interval scheduling over runs
+    heap: list = []                              # (frame the row frees at, row)
+    next_fresh = 0
+    runs = []                                    # (m, first, last, row)
+    for k in np.argsort(first_r, kind="stable"):
+        if heap and heap[0][0] <= first_r[k]:
+            _, r = heapq.heappop(heap)
+        elif next_fresh < num_rows:
+            r, next_fresh = next_fresh, next_fresh + 1
+        else:
+            n_dropped += 1
+            continue
+        runs.append((m_r[k], first_r[k], last_r[k], r))
+        heapq.heappush(heap, (last_r[k] + 1 + reuse_gap_frames, r))
+    runs_arr = np.asarray(runs, np.int64).reshape(-1, 4)
+
+    # per-frame landmark→row map from the scheduled runs
+    row_at = np.full((F_n, M), -1, np.int32)
+    for m, f0, f1, r in runs:
+        row_at[f0:f1 + 1, m] = r
+
+    # ---- noisy measurements into row-major tensors ----------------------
     for i in range(F_n):
-        p_cam = np.asarray(pose_ops.apply(
-            tcv, pose_ops.apply(jnp.asarray(world.poses_veh[i]), lms)))
-        z = p_cam[:, 2]
-        ok = z > 0.5
-        uv = np.zeros((M, 2))
-        uv[ok] = f * p_cam[ok, :2] / z[ok, None] + pp
-        ok &= ((uv[:, 0] >= 0) & (uv[:, 0] < W)
-               & (uv[:, 1] >= 0) & (uv[:, 1] < H) & (z < max_range))
-        uv = uv + rng.normal(0, pixel_noise, uv.shape)
-        uvd[i, :M, :2] = uv
+        uv = uv_all[i] + rng.normal(0, pixel_noise, (M, 2))
+        assigned = row_at[i] >= 0
+        rows = row_at[i, assigned]
+        uvd[i, rows, :2] = uv[assigned]
         if with_depth:
-            d = z + rng.normal(0, depth_noise, M)
-            uvd[i, :M, 2] = np.where(ok & has_depth_row, d, -1.0)
-        valid[i, :M] = ok
-    return world.stamps.copy(), uvd, valid
+            d = z_all[i] + rng.normal(0, depth_noise, M)
+            dm = vis[i] & has_depth_row
+            uvd[i, rows, 2] = np.where(dm[assigned], d[assigned], -1.0)
+        valid[i, rows] = vis[i, assigned]
+    return world.stamps.copy(), uvd, valid, n_dropped, runs_arr

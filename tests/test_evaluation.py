@@ -36,6 +36,73 @@ class TestSyntheticEvaluation:
         assert np.isfinite(rep.ate)
 
 
+class TestPackedTracks:
+    """Row-packed track generation for kilometre-scale drives: landmark
+    visibility split into contiguous runs (tracker re-labels re-found
+    features), rows reused by greedy interval scheduling with an
+    eviction-safety gap."""
+
+    GAP = 40
+
+    def _world(self):
+        from limo_tpu.pipeline.synthetic import make_world
+        return make_world(num_frames=160, speed=10.0, yaw_rate=0.008,
+                          n_landmarks=500, n_ground=150, seed=5)
+
+    def test_row_reuse_respects_gap(self):
+        from limo_tpu.pipeline.synthetic import dense_tracks_packed
+        world = self._world()
+        _, uvd, valid, n_dropped, runs = dense_tracks_packed(
+            world, 448, reuse_gap_frames=self.GAP, with_depth=True, seed=9)
+        assert n_dropped == 0
+        assert len(runs) > 0
+        # genuinely packed: fewer rows than runs, some reused
+        rows = runs[:, 3]
+        assert rows.max() < 448
+        assert (np.bincount(rows) > 1).any(), "no row was ever reused"
+        # per-row separation between consecutive occupants ≥ gap
+        for r in np.unique(rows):
+            occ = runs[rows == r]
+            occ = occ[np.argsort(occ[:, 1])]
+            for a, b in zip(occ[:-1], occ[1:]):
+                assert b[1] >= a[2] + 1 + self.GAP, (r, a, b)
+        # valid matches the scheduled runs exactly
+        expect = np.zeros_like(valid)
+        for m, f0, f1, r in runs:
+            expect[f0:f1 + 1, r] = True
+        assert (valid == expect).all()  # valid exactly the scheduled runs
+
+    def test_packed_measurements_match_identity(self):
+        # with zero drops and min_run=1, the multiset of valid measurements
+        # must equal the identity (one-row-per-landmark) layout's —
+        # packing only relabels rows
+        from limo_tpu.pipeline.synthetic import (dense_tracks,
+                                                 dense_tracks_packed)
+        world = self._world()
+        M = world.landmarks.shape[0]
+        _, uvd_id, valid_id = dense_tracks(world, M, with_depth=True, seed=9)
+        _, uvd_pk, valid_pk, n_dropped, _ = dense_tracks_packed(
+            world, 448, reuse_gap_frames=self.GAP, with_depth=True, seed=9,
+            min_run=1)
+        assert n_dropped == 0
+        assert valid_pk.sum() == valid_id.sum()
+        for f in (0, 40, 159):
+            a = np.sort(uvd_id[f][valid_id[f]], axis=0)
+            b = np.sort(uvd_pk[f][valid_pk[f]], axis=0)
+            np.testing.assert_allclose(a, b, rtol=0, atol=1e-12)
+
+    def test_long_drive_drift(self):
+        # the kilometre-scale gate at test size: 240 m with row reuse,
+        # KITTI drift on 100/200 m segments well under the reference's
+        # ≈0.93 % (README.md:44-57)
+        from limo_tpu.pipeline.evaluation import evaluate_long_drive
+        rep = evaluate_long_drive(num_frames=240, speed=10.0,
+                                  landmark_rows=768, seed=3)
+        assert rep.drift["num_segments"] > 0
+        assert rep.drift["t_err_percent"] < 0.93, rep.to_json()
+        assert rep.ate < 1.0, rep.to_json()
+
+
 class TestKittiIO:
     def test_fleet_evaluator(self, tmp_path):
         # SURVEY §3.5: the sequence fleet as one sharded computation,
