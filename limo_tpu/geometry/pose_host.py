@@ -91,3 +91,42 @@ def to_matrix(p):
     bottom = np.broadcast_to(np.array([0.0, 0.0, 0.0, 1.0]),
                              p.shape[:-1] + (1, 4))
     return np.concatenate([top, bottom], -2)
+
+
+def qfrom_matrix(m):
+    """3x3 rotation matrix → unit quaternion (w,x,y,z), batched — the numpy
+    mirror of :func:`limo_tpu.geometry.quaternion.qfrom_matrix` (same
+    all-candidates + largest-pivot selection, so host and device agree)."""
+    m00, m01, m02 = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    m10, m11, m12 = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    m20, m21, m22 = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    tr = m00 + m11 + m22
+
+    def safe_sqrt(x):
+        return np.sqrt(np.maximum(x, 1e-12))
+
+    qw = safe_sqrt(1.0 + tr) / 2.0
+    c0 = np.stack([qw, (m21 - m12) / (4 * qw), (m02 - m20) / (4 * qw),
+                   (m10 - m01) / (4 * qw)], -1)
+    qx = safe_sqrt(1.0 + m00 - m11 - m22) / 2.0
+    c1 = np.stack([(m21 - m12) / (4 * qx), qx, (m01 + m10) / (4 * qx),
+                   (m02 + m20) / (4 * qx)], -1)
+    qy = safe_sqrt(1.0 - m00 + m11 - m22) / 2.0
+    c2 = np.stack([(m02 - m20) / (4 * qy), (m01 + m10) / (4 * qy), qy,
+                   (m12 + m21) / (4 * qy)], -1)
+    qz = safe_sqrt(1.0 - m00 - m11 + m22) / 2.0
+    c3 = np.stack([(m10 - m01) / (4 * qz), (m02 + m20) / (4 * qz),
+                   (m12 + m21) / (4 * qz), qz], -1)
+
+    pivots = np.stack([tr, m00 - m11 - m22, -m00 + m11 - m22,
+                       -m00 - m11 + m22], -1)
+    best = np.argmax(pivots, axis=-1)
+    cands = np.stack([c0, c1, c2, c3], axis=-2)               # [..., 4, 4]
+    q = np.take_along_axis(cands, best[..., None, None],
+                           axis=-2)[..., 0, :]
+    return qnormalize(q)
+
+
+def from_matrix(m):
+    """[...,4,4] rigid transform → pose [...,7]."""
+    return np.concatenate([qfrom_matrix(m[..., :3, :3]), m[..., :3, 3]], -1)

@@ -125,6 +125,109 @@ def batch_evaluate_synthetic(num_sequences: int = 4, **kw) -> List[SequenceRepor
             for s in range(num_sequences)]
 
 
+def _long_drive_config(landmark_rows: int) -> LimoConfig:
+    from ..config import CapacityConfig
+    return LimoConfig(capacity=CapacityConfig(
+        max_keyframes=12, max_landmarks=landmark_rows, max_cameras=1))
+
+
+def _long_drive_inputs(num_frames: int, speed: float, landmark_rows: int,
+                       seed: int, landmarks_per_m: float,
+                       ground_per_m: float, cfg: LimoConfig):
+    """One kilometre-scale S-curve world + row-packed track tensors.
+
+    The yaw-rate sine is phase-shifted by the seed so fleet members drive
+    genuinely different paths; rows are packed/reused with an eviction-safety
+    gap sized from the keyframe ring (window capacity × keyframe period)."""
+    from .synthetic import dense_tracks_packed, make_world
+
+    hz = 10.0
+    path_m = num_frames / hz * speed
+    # S-curves: two yaw-rate sine periods over the drive, peak ~0.012 rad/m
+    t = np.arange(num_frames) / num_frames
+    yaw_profile = 0.012 * np.sin(2 * np.pi * (2.0 * t + 0.13 * seed))
+    world = make_world(num_frames=num_frames, hz=hz, speed=speed,
+                       n_landmarks=int(landmarks_per_m * path_m),
+                       n_ground=int(ground_per_m * path_m), seed=seed,
+                       yaw_rate_profile=yaw_profile)
+    K = cfg.capacity.max_keyframes
+    kf_dt = cfg.keyframe_selection.time_between_keyframes_sec
+    gap = int(np.ceil((K + 3) * max(kf_dt, 1.0 / hz) * hz))
+    stamps, uvd, valid, n_dropped, _ = dense_tracks_packed(
+        world, landmark_rows, reuse_gap_frames=gap, with_depth=True,
+        seed=seed + 100)
+    if n_dropped:
+        print(f"[long-drive] WARNING: {n_dropped} landmarks dropped "
+              f"(row capacity {landmark_rows} saturated)")
+    return world, stamps, uvd, valid
+
+
+def _run_fleet_reports(worlds, sb, ub, vb, cfg: LimoConfig, mesh, dtype,
+                       out_dir: Optional[str], name_fn,
+                       drift_kw: Optional[Dict] = None
+                       ) -> List[SequenceReport]:
+    """Shared fleet plumbing: default mesh, rig from world 0, one
+    ``run_fleet`` call (timed), per-sequence KITTI dump + drift reports.
+    fps reported is *aggregate* frames/s across the fleet."""
+    import jax
+
+    from ..parallel import make_mesh
+    from . import scan_odometry as so
+
+    if mesh is None:
+        n_dev = len(jax.devices())
+        mesh = make_mesh(n_dev, data=n_dev)
+    rig = CameraRig.single(worlds[0].focal, worlds[0].principal[0],
+                           worlds[0].principal[1],
+                           T_cam_veh=jnp.asarray(worlds[0].T_cam_veh, dtype),
+                           dtype=dtype)
+    t0 = time.time()
+    _, outs = so.run_fleet(mesh, sb, ub, vb, rig, cfg, dtype=dtype)
+    jax.block_until_ready(outs.pose)
+    dt = time.time() - t0
+
+    num_sequences, num_frames = sb.shape[:2]
+    fleet_fps = num_sequences * num_frames / max(dt, 1e-9)
+    reports = []
+    for s, w in enumerate(worlds):
+        est = so.poses_kitti(
+            jax.tree_util.tree_map(lambda x, s=s: x[s], outs))
+        gt = w.kitti_gt()
+        if out_dir:
+            kitti.write_poses(os.path.join(out_dir, f"{s:02d}.txt"), est)
+        reports.append(SequenceReport(
+            name=name_fn(s), n_frames=num_frames, fps=fleet_fps,
+            ate=ate_rmse(gt, est),
+            drift=kitti_drift(gt, est, **(drift_kw or {}))))
+    return reports
+
+
+def evaluate_long_drive_fleet(num_sequences: int = 4, num_frames: int = 1200,
+                              speed: float = 10.0, landmark_rows: int = 768,
+                              mesh=None, cfg: Optional[LimoConfig] = None,
+                              dtype=jnp.float32,
+                              out_dir: Optional[str] = None
+                              ) -> List[SequenceReport]:
+    """N kilometre-scale drives as ONE device computation — the production
+    serving shape: every sequence is a full long-horizon drive (packed,
+    reused landmark rows), batched on the chip and sharded over the mesh's
+    data axis when more devices are available. fps is aggregate across the
+    fleet; drift is the KITTI 100–800 m segment metric per sequence."""
+    cfg = cfg or _long_drive_config(landmark_rows)
+    worlds, sb, ub, vb = [], [], [], []
+    for s in range(num_sequences):
+        world, stamps, uvd, valid = _long_drive_inputs(
+            num_frames, speed, landmark_rows, s, 4.0, 1.0, cfg)
+        worlds.append(world)
+        sb.append(stamps)
+        ub.append(uvd)
+        vb.append(valid)
+    path_m = int(num_frames / 10.0 * speed)
+    return _run_fleet_reports(worlds, np.stack(sb), np.stack(ub),
+                              np.stack(vb), cfg, mesh, dtype, out_dir,
+                              lambda s: f"longfleet-{s}-{path_m}m")
+
+
 def evaluate_long_drive(num_frames: int = 1200, speed: float = 10.0,
                         landmark_rows: int = 768, seed: int = 0,
                         landmarks_per_m: float = 4.0,
@@ -145,30 +248,13 @@ def evaluate_long_drive(num_frames: int = 1200, speed: float = 10.0,
     """
     import jax
 
-    from ..config import CapacityConfig
     from . import scan_odometry as so
-    from .synthetic import dense_tracks_packed, make_world
 
-    hz = 10.0
-    path_m = num_frames / hz * speed
-    # S-curves: two yaw-rate sine periods over the drive, peak ~0.012 rad/m
-    t = np.arange(num_frames) / num_frames
-    yaw_profile = 0.012 * np.sin(2 * np.pi * 2.0 * t)
-    world = make_world(num_frames=num_frames, hz=hz, speed=speed,
-                       n_landmarks=int(landmarks_per_m * path_m),
-                       n_ground=int(ground_per_m * path_m), seed=seed,
-                       yaw_rate_profile=yaw_profile)
-    cfg = cfg or LimoConfig(capacity=CapacityConfig(
-        max_keyframes=12, max_landmarks=landmark_rows, max_cameras=1))
-    K = cfg.capacity.max_keyframes
-    kf_dt = cfg.keyframe_selection.time_between_keyframes_sec
-    gap = int(np.ceil((K + 3) * max(kf_dt, 1.0 / hz) * hz))
-    stamps, uvd, valid, n_dropped, _ = dense_tracks_packed(
-        world, landmark_rows, reuse_gap_frames=gap, with_depth=True,
-        seed=seed + 100)
-    if n_dropped:
-        print(f"[long-drive] WARNING: {n_dropped} landmarks dropped "
-              f"(row capacity {landmark_rows} saturated)")
+    cfg = cfg or _long_drive_config(landmark_rows)
+    world, stamps, uvd, valid = _long_drive_inputs(
+        num_frames, speed, landmark_rows, seed, landmarks_per_m,
+        ground_per_m, cfg)
+    path_m = num_frames / 10.0 * speed
     rig = CameraRig.single(world.focal, world.principal[0],
                            world.principal[1],
                            T_cam_veh=jnp.asarray(world.T_cam_veh, dtype),
@@ -198,49 +284,20 @@ def evaluate_fleet_synthetic(num_sequences: int = 4, num_frames: int = 40,
     answer to the reference's serial ``kitti_eval_script.sh`` loop
     (SURVEY §3.5; scan_odometry.run_fleet). fps reported is *aggregate*
     frames/s across the fleet."""
-    import jax
-
-    from ..config import CapacityConfig
-    from ..parallel import make_mesh
-    from . import scan_odometry as so
     from .synthetic import dense_tracks
 
-    if mesh is None:
-        n_dev = len(jax.devices())
-        mesh = make_mesh(n_dev, data=n_dev)
-    cfg = cfg or LimoConfig(capacity=CapacityConfig(
-        max_keyframes=12, max_landmarks=landmark_rows, max_cameras=1))
+    cfg = cfg or _long_drive_config(landmark_rows)
     worlds = [make_world(num_frames=num_frames, speed=8.0, yaw_rate=0.015,
                          n_landmarks=300, n_ground=80, seed=s)
               for s in range(num_sequences)]
-    rig = CameraRig(
-        focal=jnp.asarray([worlds[0].focal], dtype),
-        principal=jnp.asarray([worlds[0].principal], dtype),
-        T_cam_veh=jnp.asarray([worlds[0].T_cam_veh], dtype))
     tracks = [dense_tracks(w, landmark_rows, with_depth=True, seed=s + 100)
               for s, w in enumerate(worlds)]
     sb = np.stack([t[0] for t in tracks])
     ub = np.stack([t[1] for t in tracks])
     vb = np.stack([t[2] for t in tracks])
-
-    t0 = time.time()
-    _, outs = so.run_fleet(mesh, sb, ub, vb, rig, cfg, dtype=dtype)
-    jax.block_until_ready(outs.pose)
-    dt = time.time() - t0
-
-    reports = []
-    fleet_fps = num_sequences * num_frames / max(dt, 1e-9)
-    for s, w in enumerate(worlds):
-        est = so.poses_kitti(
-            jax.tree_util.tree_map(lambda x, s=s: x[s], outs))
-        gt = w.kitti_gt()
-        if out_dir:
-            kitti.write_poses(os.path.join(out_dir, f"{s:02d}.txt"), est)
-        reports.append(SequenceReport(
-            name=f"fleet-{s}", n_frames=num_frames, fps=fleet_fps,
-            ate=ate_rmse(gt, est),
-            drift=kitti_drift(gt, est, lengths=(20.0, 30.0), step=5)))
-    return reports
+    return _run_fleet_reports(worlds, sb, ub, vb, cfg, mesh, dtype, out_dir,
+                              lambda s: f"fleet-{s}",
+                              drift_kw={"lengths": (20.0, 30.0), "step": 5})
 
 
 def main():  # pragma: no cover — manual entry
@@ -255,20 +312,31 @@ def main():  # pragma: no cover — manual entry
                    help="run N synthetic sequences as one sharded fleet")
     p.add_argument("--longdrive", type=int, default=0,
                    help="kilometre-scale drift eval over N frames (10 Hz)")
+    p.add_argument("--longfleet", type=int, default=0,
+                   help="N kilometre-scale drives as one batched computation"
+                        " (--frames per drive, default 1200)")
     args = p.parse_args()
-    if args.longdrive:
+
+    def fleet_out_dir():
+        # --out names a DIRECTORY in fleet modes (one NN.txt per sequence)
+        if args.out and not args.out.endswith(".txt"):
+            os.makedirs(args.out, exist_ok=True)
+            return args.out
+        return None
+
+    if args.longfleet:
+        for rep in evaluate_long_drive_fleet(args.longfleet,
+                                             num_frames=args.frames or 1200,
+                                             out_dir=fleet_out_dir()):
+            print(rep.to_json())
+    elif args.longdrive:
         rep = evaluate_long_drive(num_frames=args.longdrive,
                                   out_poses=args.out)
         print(rep.to_json())
     elif args.fleet:
-        # --out names a DIRECTORY in fleet mode (one NN.txt per sequence)
-        out_dir = None
-        if args.out and not args.out.endswith(".txt"):
-            os.makedirs(args.out, exist_ok=True)
-            out_dir = args.out
         for rep in evaluate_fleet_synthetic(args.fleet,
                                             num_frames=args.frames or 40,
-                                            out_dir=out_dir):
+                                            out_dir=fleet_out_dir()):
             print(rep.to_json())
     elif args.seq:
         rep = evaluate_kitti_sequence(args.seq, args.out, args.gt, args.frames)

@@ -13,10 +13,8 @@ from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
 import numpy as np
-import jax.numpy as jnp
 
-from ..geometry import pose as pose_ops
-from ..geometry import quaternion as quat
+from ..geometry import pose_host
 from .tracklets import Tracklets
 
 # KITTI-ish camera: vehicle x-forward/z-up → camera z-forward/y-down
@@ -31,7 +29,7 @@ def kitti_like_extrinsics(height: float = 1.65) -> np.ndarray:
     m = np.eye(4)
     m[:3, :3] = R_CAM_VEH
     # camera sits at vehicle origin; ground is z = -height in vehicle frame
-    return np.asarray(pose_ops.from_matrix(jnp.asarray(m)), np.float64)
+    return pose_host.from_matrix(m)
 
 
 @dataclass
@@ -47,8 +45,7 @@ class SyntheticWorld:
 
     def kitti_gt(self) -> np.ndarray:
         """[F,4,4] origin←frame matrices (KITTI convention)."""
-        return np.asarray(pose_ops.to_matrix(pose_ops.inverse(
-            jnp.asarray(self.poses_veh))))
+        return pose_host.to_matrix(pose_host.inverse(self.poses_veh))
 
 
 def make_world(num_frames: int = 60, hz: float = 10.0, speed: float = 10.0,
@@ -72,7 +69,9 @@ def make_world(num_frames: int = 60, hz: float = 10.0, speed: float = 10.0,
     assert yr.shape == (num_frames,)
 
     # integrate vehicle pose (origin←vehicle), then store inverse (veh←origin)
-    T = np.eye(4)
+    # — pure numpy (pose_host): eager jnp per frame costs a device RPC each
+    # on a remote TPU link, and this loop runs thousands of iterations for
+    # kilometre-scale worlds
     poses = []
     heading = 0.0
     pos = np.zeros(3)
@@ -83,7 +82,7 @@ def make_world(num_frames: int = 60, hz: float = 10.0, speed: float = 10.0,
         m = np.eye(4)
         m[:3, :3] = R
         m[:3, 3] = pos
-        poses.append(np.asarray(pose_ops.inverse(pose_ops.from_matrix(jnp.asarray(m)))))
+        poses.append(pose_host.inverse(pose_host.from_matrix(m)))
         pos = pos + R @ np.array([speed * dt, 0, 0])
         heading += yr[i] * dt * speed
     poses_veh = np.stack(poses)
@@ -154,9 +153,8 @@ class SyntheticTracker:
 
     def observe(self, frame_idx: int) -> None:
         w = self.w
-        T_cam_origin = pose_ops.compose(jnp.asarray(w.T_cam_veh),
-                                        jnp.asarray(w.poses_veh[frame_idx]))
-        p_cam = np.asarray(pose_ops.apply(T_cam_origin, jnp.asarray(w.landmarks)))
+        T_cam_origin = pose_host.compose(w.T_cam_veh, w.poses_veh[frame_idx])
+        p_cam = pose_host.apply(T_cam_origin, w.landmarks)
         z = p_cam[:, 2]
         uv = w.focal * p_cam[:, :2] / np.maximum(z[:, None], 1e-6) + w.principal
         W, H = w.image_size
@@ -253,22 +251,21 @@ def _dense_tracks_impl(world, num_rows, reuse_gap_frames, pixel_noise,
                        seed, min_run: int = 3):
     import heapq
 
-    import jax
-
     rng = np.random.default_rng(seed)
     F_n = world.poses_veh.shape[0]
     M = world.landmarks.shape[0]
     W, H = world.image_size
     f, pp = world.focal, world.principal
-    tcv = jnp.asarray(world.T_cam_veh)
 
     has_depth_row = rng.uniform(size=M) < depth_fraction
-    lms = jnp.asarray(world.landmarks)
 
-    # clean projections for all frames in one device call
-    p_cam_all = np.asarray(jax.vmap(
-        lambda pv: pose_ops.apply(tcv, pose_ops.apply(pv, lms)))(
-            jnp.asarray(world.poses_veh)))                     # [F,M,3]
+    # clean projections for all frames — host-side numpy broadcasting
+    # ([F,1,7] poses × [M,3] landmarks): generation must not ship an
+    # [F,M,3] f64 tensor over a remote TPU link (~140 MB at km scale)
+    p_cam_all = pose_host.apply(
+        world.T_cam_veh,
+        pose_host.apply(world.poses_veh[:, None, :],
+                        world.landmarks))                      # [F,M,3]
     z_all = p_cam_all[..., 2]
     ok_z = z_all > 0.5
     uv_all = np.zeros((F_n, M, 2))
