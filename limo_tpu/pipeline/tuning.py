@@ -86,7 +86,10 @@ def grid_search(evaluate: Optional[Callable[[LimoConfig], Dict[str, float]]] = N
         out.append(pt)
         if verbose:
             print(pt.to_json())
+    return _sorted_points(out, key)
 
+
+def _sorted_points(out: List[GridPoint], key: str) -> List[GridPoint]:
     def score(p: GridPoint):
         v = {"t_err_percent": p.drift_t, "r_err_deg_per_m": p.drift_r,
              "ate_m": p.ate}[key]
@@ -97,6 +100,94 @@ def grid_search(evaluate: Optional[Callable[[LimoConfig], Dict[str, float]]] = N
         return (1, p.ate if p.ate == p.ate else float("inf"))
 
     return sorted(out, key=score)
+
+
+def grid_search_fused(depth_thres: Sequence[float] = REFERENCE_DEPTH_THRES,
+                      reprojection_thres: Sequence[float] = REFERENCE_REPR_THRES,
+                      num_frames: int = 40, seed: int = 0,
+                      base_cfg: Optional[LimoConfig] = None,
+                      landmark_rows: int = 512,
+                      key: str = "t_err_percent",
+                      max_chunk: int = 32,
+                      verbose: bool = False) -> List[GridPoint]:
+    """The whole tuning grid as ONE device program.
+
+    The reference replays the full dataset once per grid point (hours per
+    sweep); :func:`grid_search` mirrors that shape (one evaluation per
+    point, each a fresh compile of the loss constants). Here the two loss
+    scales are *traced* scalars vmapped over a ``[G,2]`` grid axis
+    (:func:`limo_tpu.pipeline.scan_odometry.run_tuning_grid`): the sequence
+    is broadcast, the sweep is one compile + one dispatch, and every grid
+    point's full trajectory comes back in a single fetch.
+
+    ``shrubbery_weight`` is not swept on-device (semantic labels do not flow
+    through the scan program); points report the base config's value.
+
+    Grids larger than ``max_chunk`` run as padded equal-size chunks through
+    the SAME compiled program (one compile total): a single ~100-wide
+    vmapped scan was observed to fault the device over the remote link,
+    and equal chunks keep the compile cache hot.
+    """
+    import jax
+    import numpy as np
+
+    from ..geometry.camera import CameraRig
+    from . import scan_odometry as so
+    from .metrics import ate_rmse, kitti_drift
+    from .synthetic import dense_tracks, make_world
+
+    if key not in ("t_err_percent", "r_err_deg_per_m", "ate_m"):
+        raise ValueError(f"unknown sort key {key!r}")
+    cfg = base_cfg or LimoConfig()
+    cfg = dataclasses.replace(cfg, capacity=dataclasses.replace(
+        cfg.capacity, max_keyframes=12, max_landmarks=landmark_rows,
+        max_cameras=1))
+    # size the world to the row capacity (identity row layout: one row per
+    # world landmark)
+    n_lm = min(300, int(landmark_rows * 0.7))
+    world = make_world(num_frames=num_frames, speed=8.0, yaw_rate=0.015,
+                       n_landmarks=n_lm, n_ground=min(80, landmark_rows - n_lm),
+                       seed=seed)
+    stamps, uvd, valid = dense_tracks(world, landmark_rows, with_depth=True,
+                                      seed=seed + 100)
+    rig = CameraRig.single(world.focal, world.principal[0],
+                           world.principal[1],
+                           T_cam_veh=world.T_cam_veh)
+    grid = np.asarray(list(itertools.product(depth_thres,
+                                             reprojection_thres)))
+    G = len(grid)
+    if G <= max_chunk:
+        _, outs = so.run_tuning_grid(stamps, uvd, valid, rig, cfg, grid)
+    else:
+        chunk = max_chunk
+        pad = (-G) % chunk
+        gpad = np.concatenate([grid, np.repeat(grid[:1], pad, axis=0)])
+        chunks = []
+        for i in range(0, len(gpad), chunk):
+            _, o = so.run_tuning_grid(stamps, uvd, valid, rig, cfg,
+                                      gpad[i:i + chunk])
+            jax.block_until_ready(o.pose)
+            chunks.append(o)
+        outs = jax.tree_util.tree_map(
+            lambda *xs: np.concatenate([np.asarray(x) for x in xs])[:G],
+            *chunks)
+    jax.block_until_ready(outs.pose)
+
+    gt = world.kitti_gt()
+    shrub = cfg.regularization.shrubbery_weight
+    out: List[GridPoint] = []
+    for g, (d, r) in enumerate(grid):
+        est = so.poses_kitti(jax.tree_util.tree_map(lambda x, g=g: x[g],
+                                                    outs))
+        drift = kitti_drift(gt, est, lengths=(20.0, 30.0), step=5)
+        pt = GridPoint(float(d), float(r), shrub,
+                       ate=ate_rmse(gt, est),
+                       drift_t=drift["t_err_percent"],
+                       drift_r=drift["r_err_deg_per_m"])
+        out.append(pt)
+        if verbose:
+            print(pt.to_json())
+    return _sorted_points(out, key)
 
 
 def _default_evaluate(cfg: LimoConfig, num_frames: int = 40,
@@ -117,11 +208,18 @@ def main():  # pragma: no cover — manual entry
     p.add_argument("--shrubbery", type=float, nargs="+",
                    default=list(REFERENCE_SHRUBBERY))
     p.add_argument("--frames", type=int, default=40)
+    p.add_argument("--fused", action="store_true",
+                   help="run the whole grid as ONE vmapped device program")
     args = p.parse_args()
-    pts = grid_search(
-        evaluate=lambda cfg: _default_evaluate(cfg, num_frames=args.frames),
-        depth_thres=args.depth, reprojection_thres=args.repr_,
-        shrubbery_weights=args.shrubbery, verbose=True)
+    if args.fused:
+        pts = grid_search_fused(depth_thres=args.depth,
+                                reprojection_thres=args.repr_,
+                                num_frames=args.frames, verbose=True)
+    else:
+        pts = grid_search(
+            evaluate=lambda cfg: _default_evaluate(cfg, num_frames=args.frames),
+            depth_thres=args.depth, reprojection_thres=args.repr_,
+            shrubbery_weights=args.shrubbery, verbose=True)
     print("# best:")
     print(pts[0].to_json())
 

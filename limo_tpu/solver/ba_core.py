@@ -250,7 +250,13 @@ def assemble(window: Window, sel: Selection, rig, cfg,
 
     lm_active = window.lm_valid & sel.lm_selected
     from .pallas_assemble import TL as _TL
+    # the kernel bakes the loss scales in as compile-time constants — a
+    # traced threshold (the fused tuning grid vmaps over them) must take
+    # the einsum path
+    static_thres = isinstance(robust_cfg.reprojection_thres, (int, float)) \
+        and isinstance(robust_cfg.depth_thres, (int, float))
     use_pallas = (getattr(cfg.solver, "use_pallas_assembly", False)
+                  and static_thres
                   and not compensate_rotation and dtype == jnp.float32
                   and L % _TL == 0      # kernel grid needs TL-aligned L
                   and jax.default_backend() == "tpu")

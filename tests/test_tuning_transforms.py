@@ -52,6 +52,71 @@ class TestGridSearch:
                           reprojection_thres=(1.0,), shrubbery_weights=(0.9,))
         assert pts[0].depth_thres == 0.1
 
+    def test_fused_grid_matches_serial(self):
+        """The vmapped traced-loss-scale sweep must reproduce the serial
+        per-point (static-constant) runs: same scan program, scales as
+        tracers instead of compile-time constants."""
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from limo_tpu.config import CapacityConfig
+        from limo_tpu.geometry.camera import CameraRig
+        from limo_tpu.pipeline import scan_odometry as so
+        from limo_tpu.pipeline.synthetic import dense_tracks, make_world
+
+        rows = 256
+        cfg = LimoConfig(capacity=CapacityConfig(
+            max_keyframes=12, max_landmarks=rows, max_cameras=1))
+        world = make_world(num_frames=30, speed=8.0, yaw_rate=0.015,
+                           n_landmarks=180, n_ground=50, seed=2)
+        stamps, uvd, valid = dense_tracks(world, rows, with_depth=True,
+                                          seed=7)
+        rig = CameraRig.single(world.focal, world.principal[0],
+                               world.principal[1],
+                               T_cam_veh=world.T_cam_veh)
+        grid = np.array([[0.16, 1.6], [0.10, 1.0]])
+        _, outs = so.run_tuning_grid(stamps, uvd, valid, rig, cfg, grid)
+        assert outs.pose.shape[:2] == (2, 30)
+        for g, (d, r) in enumerate(grid):
+            tcfg = dataclasses.replace(cfg, robust=dataclasses.replace(
+                cfg.robust, depth_thres=float(d),
+                reprojection_thres=float(r)))
+            _, ref = so.run_sequence(stamps, uvd, valid, rig, tcfg)
+            # bootstrap frames are chaotic (accept/reject flips on f32
+            # noise under vmap's cond→select); steady state must agree
+            np.testing.assert_allclose(np.asarray(outs.pose[g, 10:]),
+                                       np.asarray(ref.pose[10:]), atol=5e-2)
+        # different loss scales genuinely produce different trajectories
+        assert not np.allclose(np.asarray(outs.pose[0]),
+                               np.asarray(outs.pose[1]))
+
+    def test_fused_grid_search_ranks(self):
+        from limo_tpu.pipeline.tuning import grid_search_fused
+        pts = grid_search_fused(depth_thres=(0.16, 0.10),
+                                reprojection_thres=(1.6,),
+                                num_frames=30, landmark_rows=256)
+        assert len(pts) == 2
+        assert all(np.isfinite(p.ate) for p in pts)
+        # sorted best-first on translation drift
+        assert pts[0].drift_t <= pts[1].drift_t
+
+    def test_fused_grid_chunking_matches_unchunked(self):
+        # a 3-point grid forced through 2-point padded chunks must return
+        # the same ranking + metrics as the single-dispatch path
+        from limo_tpu.pipeline.tuning import grid_search_fused
+        kw = dict(depth_thres=(0.16, 0.10), reprojection_thres=(1.6,),
+                  num_frames=30, landmark_rows=256)
+        whole = grid_search_fused(**kw)
+        chunked = grid_search_fused(max_chunk=1, **kw)
+        assert [(p.depth_thres, p.reprojection_thres) for p in whole] \
+            == [(p.depth_thres, p.reprojection_thres) for p in chunked]
+        # vmap width changes f32 fusion/reduction order — metrics agree to
+        # sub-millimetre, not bitwise
+        for a, b in zip(whole, chunked):
+            np.testing.assert_allclose(a.ate, b.ate, atol=1e-3)
+
     def test_json_roundtrip(self):
         import json
         p = GridPoint(0.1, 1.0, 0.9, 0.01, 0.8, 0.002)
