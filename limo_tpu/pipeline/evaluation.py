@@ -185,6 +185,8 @@ def _run_fleet_reports(worlds, sb, ub, vb, cfg: LimoConfig, mesh, dtype,
     _, outs = so.run_fleet(mesh, sb, ub, vb, rig, cfg, dtype=dtype)
     jax.block_until_ready(outs.pose)
     dt = time.time() - t0
+    # ONE fetch; the per-sequence report loop below is pure numpy
+    outs = jax.device_get(outs)
 
     num_sequences, num_frames = sb.shape[:2]
     fleet_fps = num_sequences * num_frames / max(dt, 1e-9)

@@ -396,29 +396,14 @@ def run_fleet(mesh, stamps_b, uvd_b, valid_b, rig, cfg, priors_b=None,
     return final, outs
 
 
-def run_tuning_grid(stamps, uvd_seq, valid_seq, rig, cfg, grid,
-                    dtype=jnp.float32):
-    """Every tuning grid point as one row of ONE vmapped device program.
+def make_tuning_runner(rig, cfg, dtype=jnp.float32):
+    """Build the vmapped tuning-scan runner ONCE.
 
-    The reference's parameter search replays the full dataset once per grid
-    point (``res/tune_parameters_kitti.py:3-17`` × ``kitti_eval_script.sh``
-    — hours per sweep). Here the robust loss scales are *traced* scalars:
-    ``grid [G,2]`` rows are ``(depth_thres, reprojection_thres)`` and the
-    whole sweep over the SAME sequence (broadcast, not copied per point) is
-    a single compile + a single device dispatch. Pallas assembly bakes the
-    scales in as kernel constants, so this path automatically falls back to
-    the scatter-free einsum assembly (see ``ba_core``'s ``static_thres``
-    gate).
-
-    Returns (final ScanState [G,...], FrameOut [G,F,...]).
+    The returned jitted callable is reused across equal-shape grid chunks —
+    a fresh ``jax.jit`` wrapper per chunk would miss JAX's trace/lowering
+    caches and re-pay the full compile every call.
     """
     import dataclasses
-
-    grid = jnp.asarray(grid, dtype)
-    G = grid.shape[0]
-    F = len(stamps)
-    st = init_state(cfg.capacity, dtype)
-    st_b = jax.tree_util.tree_map(lambda x: jnp.stack([x] * G), st)
 
     def one(params, st, stamps, uvd, valid, p, ok):
         tcfg = dataclasses.replace(cfg, robust=dataclasses.replace(
@@ -427,13 +412,69 @@ def run_tuning_grid(stamps, uvd_seq, valid_seq, rig, cfg, grid,
         step = make_scan_step(rig, tcfg)
         return jax.lax.scan(step, st, (stamps, uvd, valid, p, ok))
 
-    run = jax.jit(jax.vmap(one, in_axes=(0, 0, None, None, None, None, None)))
+    return jax.jit(jax.vmap(one,
+                            in_axes=(0, 0, None, None, None, None, None)))
+
+
+def run_tuning_grid(stamps, uvd_seq, valid_seq, rig, cfg, grid,
+                    dtype=jnp.float32, max_chunk: Optional[int] = None):
+    """Every tuning grid point as one row of ONE vmapped device program.
+
+    The reference's parameter search replays the full dataset once per grid
+    point (``res/tune_parameters_kitti.py:3-17`` × ``kitti_eval_script.sh``
+    — hours per sweep). Here the robust loss scales are *traced* scalars:
+    ``grid [G,2]`` rows are ``(depth_thres, reprojection_thres)`` and the
+    whole sweep over the SAME sequence (broadcast, not copied per point) is
+    one compile + one dispatch. Pallas assembly bakes the scales in as
+    kernel constants, so this path automatically falls back to the
+    scatter-free einsum assembly (see ``ba_core``'s ``static_thres`` gate).
+
+    ``max_chunk`` (optional) bounds the vmap width: the grid is split into
+    *balanced* equal chunks (last one padded by repeating row 0) that all
+    reuse the one compiled runner — a ~100-wide vmapped scan was observed
+    to fault the device over the remote link, and unbalanced 32-padding
+    would waste up to a chunk of redundant replays.
+
+    Returns (final ScanState [G,...], FrameOut [G,F,...]) — numpy leaves
+    when chunked, device arrays otherwise.
+    """
+    grid = np.asarray(grid, np.float64)
+    G = grid.shape[0]
+    F = len(stamps)
+    st = init_state(cfg.capacity, dtype)
+    run = make_tuning_runner(rig, cfg, dtype)
     p, ok = _prior_arrays(None, None, F, dtype)
-    return run(grid, st_b, jnp.asarray(stamps, st.window.stamps.dtype),
-               jnp.asarray(uvd_seq, dtype), jnp.asarray(valid_seq), p, ok)
+    data = (jnp.asarray(stamps, st.window.stamps.dtype),
+            jnp.asarray(uvd_seq, dtype), jnp.asarray(valid_seq), p, ok)
+
+    def run_rows(rows):
+        st_b = jax.tree_util.tree_map(
+            lambda x: jnp.stack([x] * rows.shape[0]), st)
+        return run(jnp.asarray(rows, dtype), st_b, *data)
+
+    if max_chunk is None or G <= max_chunk:
+        return run_rows(grid)
+
+    n_chunks = -(-G // max_chunk)
+    chunk = -(-G // n_chunks)                    # balanced: ceil(G/n_chunks)
+    pad = n_chunks * chunk - G
+    gpad = np.concatenate([grid, np.repeat(grid[:1], pad, axis=0)])
+    finals, outs = [], []
+    for i in range(0, len(gpad), chunk):
+        f, o = run_rows(gpad[i:i + chunk])
+        jax.block_until_ready(o.pose)
+        finals.append(jax.device_get(f))
+        outs.append(jax.device_get(o))
+    cat = lambda xs: np.concatenate(xs)[:G]
+    return (jax.tree_util.tree_map(lambda *x: cat(x), *finals),
+            jax.tree_util.tree_map(lambda *x: cat(x), *outs))
 
 
 def poses_kitti(frame_out: FrameOut) -> np.ndarray:
-    """FrameOut → [F,4,4] KITTI origin←vehicle matrices."""
-    inv = pose_ops.inverse(frame_out.pose)
-    return np.asarray(pose_ops.to_matrix(inv))
+    """FrameOut → [F,4,4] KITTI origin←vehicle matrices.
+
+    Host-side numpy (``pose_host``): callers loop this over fleet/grid rows,
+    and eager jnp per row costs device round trips (CLAUDE.md host rules)."""
+    from ..geometry import pose_host
+    return pose_host.to_matrix(pose_host.inverse(
+        np.asarray(frame_out.pose, np.float64)))

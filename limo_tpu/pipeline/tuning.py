@@ -123,10 +123,11 @@ def grid_search_fused(depth_thres: Sequence[float] = REFERENCE_DEPTH_THRES,
     ``shrubbery_weight`` is not swept on-device (semantic labels do not flow
     through the scan program); points report the base config's value.
 
-    Grids larger than ``max_chunk`` run as padded equal-size chunks through
-    the SAME compiled program (one compile total): a single ~100-wide
-    vmapped scan was observed to fault the device over the remote link,
-    and equal chunks keep the compile cache hot.
+    Grids larger than ``max_chunk`` run as balanced equal chunks through the
+    SAME compiled runner (one compile total; see
+    :func:`~limo_tpu.pipeline.scan_odometry.run_tuning_grid`) — a single
+    ~100-wide vmapped scan was observed to fault the device over the remote
+    link.
     """
     import jax
     import numpy as np
@@ -155,23 +156,10 @@ def grid_search_fused(depth_thres: Sequence[float] = REFERENCE_DEPTH_THRES,
                            T_cam_veh=world.T_cam_veh)
     grid = np.asarray(list(itertools.product(depth_thres,
                                              reprojection_thres)))
-    G = len(grid)
-    if G <= max_chunk:
-        _, outs = so.run_tuning_grid(stamps, uvd, valid, rig, cfg, grid)
-    else:
-        chunk = max_chunk
-        pad = (-G) % chunk
-        gpad = np.concatenate([grid, np.repeat(grid[:1], pad, axis=0)])
-        chunks = []
-        for i in range(0, len(gpad), chunk):
-            _, o = so.run_tuning_grid(stamps, uvd, valid, rig, cfg,
-                                      gpad[i:i + chunk])
-            jax.block_until_ready(o.pose)
-            chunks.append(o)
-        outs = jax.tree_util.tree_map(
-            lambda *xs: np.concatenate([np.asarray(x) for x in xs])[:G],
-            *chunks)
-    jax.block_until_ready(outs.pose)
+    _, outs = so.run_tuning_grid(stamps, uvd, valid, rig, cfg, grid,
+                                 max_chunk=max_chunk)
+    # ONE fetch of every trajectory; the metrics loop below is pure numpy
+    outs = jax.device_get(outs)
 
     gt = world.kitti_gt()
     shrub = cfg.regularization.shrubbery_weight
@@ -211,7 +199,13 @@ def main():  # pragma: no cover — manual entry
     p.add_argument("--fused", action="store_true",
                    help="run the whole grid as ONE vmapped device program")
     args = p.parse_args()
+    from ..utils import enable_compilation_cache
+    enable_compilation_cache()
     if args.fused:
+        if list(args.shrubbery) != list(REFERENCE_SHRUBBERY):
+            print("# WARNING: --fused sweeps only (depth_thres, "
+                  "reprojection_thres); --shrubbery is ignored (labels do "
+                  "not flow through the scan program)")
         pts = grid_search_fused(depth_thres=args.depth,
                                 reprojection_thres=args.repr_,
                                 num_frames=args.frames, verbose=True)

@@ -252,9 +252,11 @@ def assemble(window: Window, sel: Selection, rig, cfg,
     from .pallas_assemble import TL as _TL
     # the kernel bakes the loss scales in as compile-time constants — a
     # traced threshold (the fused tuning grid vmaps over them) must take
-    # the einsum path
-    static_thres = isinstance(robust_cfg.reprojection_thres, (int, float)) \
-        and isinstance(robust_cfg.depth_thres, (int, float))
+    # the einsum path; any concrete number (python float, np scalar) is fine
+    static_thres = not (isinstance(robust_cfg.reprojection_thres,
+                                   jax.core.Tracer)
+                        or isinstance(robust_cfg.depth_thres,
+                                      jax.core.Tracer))
     use_pallas = (getattr(cfg.solver, "use_pallas_assembly", False)
                   and static_thres
                   and not compensate_rotation and dtype == jnp.float32

@@ -110,12 +110,14 @@ class TestGridSearch:
                   num_frames=30, landmark_rows=256)
         whole = grid_search_fused(**kw)
         chunked = grid_search_fused(max_chunk=1, **kw)
-        assert [(p.depth_thres, p.reprojection_thres) for p in whole] \
-            == [(p.depth_thres, p.reprojection_thres) for p in chunked]
-        # vmap width changes f32 fusion/reduction order — metrics agree to
-        # sub-millimetre, not bitwise
-        for a, b in zip(whole, chunked):
-            np.testing.assert_allclose(a.ate, b.ate, atol=1e-3)
+        # compare per-point metrics keyed by the grid coordinates — the
+        # *ranking* may legitimately flip when two points' drift nearly
+        # ties (vmap width changes f32 fusion/reduction order)
+        wm = {(p.depth_thres, p.reprojection_thres): p for p in whole}
+        cm = {(p.depth_thres, p.reprojection_thres): p for p in chunked}
+        assert wm.keys() == cm.keys() and len(wm) == 2
+        for k in wm:
+            np.testing.assert_allclose(wm[k].ate, cm[k].ate, atol=1e-3)
 
     def test_json_roundtrip(self):
         import json
