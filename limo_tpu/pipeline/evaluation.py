@@ -318,6 +318,8 @@ def main():  # pragma: no cover — manual entry
                    help="N kilometre-scale drives as one batched computation"
                         " (--frames per drive, default 1200)")
     args = p.parse_args()
+    from ..utils import enable_compilation_cache
+    enable_compilation_cache()
 
     def fleet_out_dir():
         # --out names a DIRECTORY in fleet modes (one NN.txt per sequence)
