@@ -126,9 +126,14 @@ def batch_evaluate_synthetic(num_sequences: int = 4, **kw) -> List[SequenceRepor
 
 
 def _long_drive_config(landmark_rows: int) -> LimoConfig:
-    from ..config import CapacityConfig
-    return LimoConfig(capacity=CapacityConfig(
-        max_keyframes=12, max_landmarks=landmark_rows, max_cameras=1))
+    from ..config import CapacityConfig, LandmarkSelectionConfig
+    return LimoConfig(
+        capacity=CapacityConfig(
+            max_keyframes=12, max_landmarks=landmark_rows, max_cameras=1),
+        # synthetic worlds put the camera 1.65 m over ground — the gp scale
+        # fusion needs the metric plane height (launch value 0.31 is the
+        # real KITTI vehicle's)
+        landmark_selection=LandmarkSelectionConfig(height_over_ground=1.65))
 
 
 def _long_drive_inputs(num_frames: int, speed: float, landmark_rows: int,
@@ -152,19 +157,30 @@ def _long_drive_inputs(num_frames: int, speed: float, landmark_rows: int,
                        yaw_rate_profile=yaw_profile)
     K = cfg.capacity.max_keyframes
     kf_dt = cfg.keyframe_selection.time_between_keyframes_sec
+    # Row-reuse safety gap: a row may be reassigned only after its previous
+    # occupant is guaranteed out of the keyframe window. The bound assumes a
+    # keyframe is accepted at least once per max(kf_dt, 1/hz) — which holds
+    # on these synthetic drives because the vehicle never stands still (the
+    # forward speed keeps median flow above the keyframe-rejection threshold
+    # min_median_flow, so the time-sparsification gate fires every kf_dt).
+    # A standstill stretch would break this coupling: keyframe acceptance
+    # stalls, a stale landmark outlives the gap, and a reused row would mix
+    # observations of two 3D points. +3 keyframes of margin absorbs solve
+    # throttling jitter.
     gap = int(np.ceil((K + 3) * max(kf_dt, 1.0 / hz) * hz))
-    stamps, uvd, valid, n_dropped, _ = dense_tracks_packed(
+    stamps, uvd, valid, n_dropped, _, labels = dense_tracks_packed(
         world, landmark_rows, reuse_gap_frames=gap, with_depth=True,
-        seed=seed + 100)
+        seed=seed + 100, with_labels=True)
     if n_dropped:
-        print(f"[long-drive] WARNING: {n_dropped} landmarks dropped "
-              f"(row capacity {landmark_rows} saturated)")
-    return world, stamps, uvd, valid
+        print(f"[long-drive] WARNING: {n_dropped} track runs dropped "
+              f"(row capacity {landmark_rows} saturated; one landmark can "
+              f"contribute several runs)")
+    return world, stamps, uvd, valid, labels
 
 
 def _run_fleet_reports(worlds, sb, ub, vb, cfg: LimoConfig, mesh, dtype,
                        out_dir: Optional[str], name_fn,
-                       drift_kw: Optional[Dict] = None
+                       drift_kw: Optional[Dict] = None, labels_b=None
                        ) -> List[SequenceReport]:
     """Shared fleet plumbing: default mesh, rig from world 0, one
     ``run_fleet`` call (timed), per-sequence KITTI dump + drift reports.
@@ -182,7 +198,8 @@ def _run_fleet_reports(worlds, sb, ub, vb, cfg: LimoConfig, mesh, dtype,
                            T_cam_veh=jnp.asarray(worlds[0].T_cam_veh, dtype),
                            dtype=dtype)
     t0 = time.time()
-    _, outs = so.run_fleet(mesh, sb, ub, vb, rig, cfg, dtype=dtype)
+    _, outs = so.run_fleet(mesh, sb, ub, vb, rig, cfg, dtype=dtype,
+                           labels_b=labels_b)
     jax.block_until_ready(outs.pose)
     dt = time.time() - t0
     # ONE fetch; the per-sequence report loop below is pure numpy
@@ -216,18 +233,20 @@ def evaluate_long_drive_fleet(num_sequences: int = 4, num_frames: int = 1200,
     data axis when more devices are available. fps is aggregate across the
     fleet; drift is the KITTI 100–800 m segment metric per sequence."""
     cfg = cfg or _long_drive_config(landmark_rows)
-    worlds, sb, ub, vb = [], [], [], []
+    worlds, sb, ub, vb, lb = [], [], [], [], []
     for s in range(num_sequences):
-        world, stamps, uvd, valid = _long_drive_inputs(
+        world, stamps, uvd, valid, labels = _long_drive_inputs(
             num_frames, speed, landmark_rows, s, 4.0, 1.0, cfg)
         worlds.append(world)
         sb.append(stamps)
         ub.append(uvd)
         vb.append(valid)
+        lb.append(labels)
     path_m = int(num_frames / 10.0 * speed)
     return _run_fleet_reports(worlds, np.stack(sb), np.stack(ub),
                               np.stack(vb), cfg, mesh, dtype, out_dir,
-                              lambda s: f"longfleet-{s}-{path_m}m")
+                              lambda s: f"longfleet-{s}-{path_m}m",
+                              labels_b=np.stack(lb))
 
 
 def evaluate_long_drive(num_frames: int = 1200, speed: float = 10.0,
@@ -253,7 +272,7 @@ def evaluate_long_drive(num_frames: int = 1200, speed: float = 10.0,
     from . import scan_odometry as so
 
     cfg = cfg or _long_drive_config(landmark_rows)
-    world, stamps, uvd, valid = _long_drive_inputs(
+    world, stamps, uvd, valid, labels = _long_drive_inputs(
         num_frames, speed, landmark_rows, seed, landmarks_per_m,
         ground_per_m, cfg)
     path_m = num_frames / 10.0 * speed
@@ -262,7 +281,8 @@ def evaluate_long_drive(num_frames: int = 1200, speed: float = 10.0,
                            T_cam_veh=jnp.asarray(world.T_cam_veh, dtype),
                            dtype=dtype)
     t0 = time.time()
-    _, outs = so.run_sequence(stamps, uvd, valid, rig, cfg, dtype=dtype)
+    _, outs = so.run_sequence(stamps, uvd, valid, rig, cfg, dtype=dtype,
+                              labels=labels)
     jax.block_until_ready(outs.pose)
     dt = time.time() - t0
     est = so.poses_kitti(outs)

@@ -4,27 +4,27 @@ The reference evaluates KITTI sequences serially through a ROS graph, one
 frame per callback (``kitti_eval_script.sh``, SURVEY §3.5). This module is
 the TPU-native equivalent the survey calls for: the full per-frame pipeline —
 constant-velocity prior → motion-only refinement → keyframe gates → push
-(depth backprojection / midpoint triangulation) → windowed trimmed BA — runs
-as a single ``lax.scan`` over frames, so a whole sequence is one XLA
-program, a *batch* of sequences is one ``vmap``, and a fleet of sequences
-shards over a device mesh on the data axis (§2.13).
+(depth backprojection / midpoint triangulation) → label flow → connectivity
+windowing → windowed trimmed BA with the full selector stack — runs as a
+single ``lax.scan`` over frames, so a whole sequence is one XLA program, a
+*batch* of sequences is one ``vmap``, and a fleet of sequences shards over a
+device mesh on the data axis (§2.13).
 
-Differences from the host-driven :class:`~limo_tpu.pipeline.odometry`
-pipeline (which stays the full-fidelity path):
-
-- tracks arrive as a dense per-frame tensor ``[F, L, 3]`` keyed by landmark
-  slot (the host maps tracker ids → slots; the synthetic tracker and the
-  KITTI adapter already produce stable rows);
-- keyframe slots form a ring buffer (oldest evicted) instead of the
-  connectivity-based deactivation; fixation (oldest = Pose, second = Scale)
-  is recomputed from stamps each push — same invariant as
-  ``deactivateKeyframes`` (bundle_adjuster_keyframes.cpp:962-986);
-- landmark selection inside the scan solve is cheirality + validity
-  (the voxel/observability sparsification stacks run in the host pipeline).
+The solve path here is the SAME full-fidelity stack as the host-driven
+:class:`~limo_tpu.pipeline.odometry` pipeline: cheirality → voxel
+sparsification → AddDepth(gp) guarantees → groundplane residual wiring →
+scale logic (``selection_for_solve``), per-frame semantic label flow
+(``updateLabels`` semantics: outlier labels, shrubbery weights, ground
+flags — bundle_adjuster_keyframes.cpp:388-431), and connectivity-based
+keyframe deactivation (``deactivateKeyframes`` :907-987) instead of a plain
+ring. Tracks arrive as a dense per-frame tensor ``[F, L, 3]`` keyed by
+landmark slot (the host maps tracker ids → slots; the synthetic tracker and
+the KITTI adapter already produce stable rows).
 
 Reference call stack being compiled here: ``MonoLidar::callbackSubscriber``
 (mono_lidar.cpp:88-373) — prior, adjustPoseOnly, KeyframeSelector::select,
-push, throttled solve — collapsed into one jitted step per frame.
+push, throttled deactivate+updateLabels+solve — collapsed into one jitted
+step per frame.
 """
 
 from __future__ import annotations
@@ -40,16 +40,18 @@ from ..geometry import quaternion as quat
 from ..geometry.camera import backproject, viewing_ray
 from ..geometry.triangulation import triangulate_batch
 from ..selection.keyframe import select_keyframe
-from ..selection.landmark import cheirality_mask
 from ..solver.pose_only import pose_only_step
 from ..solver.trimmed import solve_trimmed
-from ..state import Selection, Window, empty_window
+from ..state import Window, empty_window
+from ..window_manager import (DEFAULT_GROUND_LABELS, DEFAULT_OUTLIER_LABELS,
+                              DEFAULT_SHRUBBERY_LABELS, selection_for_solve)
 
 
 class ScanState(NamedTuple):
     window: Window
+    lm_outlier: jnp.ndarray     # [L] label/flag-based rejects (updateLabels)
     sel_mask: jnp.ndarray       # [L] last solve's landmark selection
-    ring_next: jnp.ndarray      # int32 — next keyframe slot to overwrite
+    newest_slot: jnp.ndarray    # int32 — slot of the newest keyframe
     n_kf: jnp.ndarray           # int32 — keyframes pushed so far
     cur_pose: jnp.ndarray       # [7] latest pose incl. solve corrections
     vel: jnp.ndarray            # [7] frame delta relative(refined_t, out_{t-1})
@@ -76,8 +78,9 @@ def init_state(cap, dtype=jnp.float32) -> ScanState:
     p0 = pose_ops.identity(dtype)
     return ScanState(
         window=w,
+        lm_outlier=jnp.zeros((L,), bool),
         sel_mask=jnp.zeros((L,), bool),
-        ring_next=jnp.asarray(0, jnp.int32),
+        newest_slot=jnp.asarray(0, jnp.int32),
         n_kf=jnp.asarray(0, jnp.int32),
         cur_pose=p0,
         vel=p0,
@@ -99,11 +102,55 @@ def _oldest_two(stamps, valid):
     return k0.astype(jnp.int32), k1.astype(jnp.int32)
 
 
-def _push_keyframe(window: Window, slot, stamp, pose, uvd, valid, rig, cfg):
-    """Write a keyframe into ``slot`` (ring eviction) and initialize new
-    landmarks — the device-side ``push`` (bundle_adjuster_keyframes.cpp:
-    289-329: depth-backproject if any camera measured depth, else midpoint
-    triangulation; failures retried on later pushes)."""
+def _write_slot(stamps, valid):
+    """Slot for the next keyframe: any free slot first, else evict the
+    oldest active one (its pose was already emitted per frame — the scan
+    equivalent of the host allocator's archive-and-reuse)."""
+    small = jnp.asarray(-jnp.inf, stamps.dtype)
+    return jnp.argmin(jnp.where(valid, stamps, small)).astype(jnp.int32)
+
+
+def _deactivate(window: Window, newest_slot, cfg) -> Window:
+    """``deactivateKeyframes`` (bundle_adjuster_keyframes.cpp:907-987) as a
+    pure device function: the newest ``min_window`` keyframes stay active;
+    beyond ``max_window`` always deactivated; in between active iff sharing
+    ≥ ``min_num_connecting_landmarks`` landmarks with the newest keyframe
+    (getCommonLandmarkIds :88-111). Active landmarks shrink to those observed
+    in the window (:950-960); fixation reassigned: oldest active → Pose,
+    second-oldest → Scale (:962-986)."""
+    wc = cfg.window
+    K = window.K
+    stamps, valid = window.stamps, window.kf_valid
+    newer = valid[None, :] & (stamps[None, :] > stamps[:, None])
+    rank = jnp.sum(newer.astype(jnp.int32), axis=1)          # 0 = newest
+    obs_any = jnp.any(window.obs_mask, axis=-1)              # [L,K]
+    common = jnp.sum((obs_any & obs_any[:, newest_slot][:, None]
+                      & window.lm_valid[:, None]).astype(jnp.int32), axis=0)
+    keep = valid & ((rank < wc.min_size_optimization_window)
+                    | ((rank < wc.max_size_optimization_window)
+                       & (common >= wc.min_num_connecting_landmarks)))
+    obs_mask = window.obs_mask & keep[None, :, None]
+    lm_valid = window.lm_valid & jnp.any(obs_mask, axis=(1, 2))
+    k0, k1 = _oldest_two(stamps, keep)
+    fix_pose = jax.nn.one_hot(k0, K, dtype=jnp.int32).astype(bool) & keep
+    fix_scale = jax.nn.one_hot(k1, K, dtype=jnp.int32).astype(bool) & keep
+    return window._replace(kf_valid=keep, obs_mask=obs_mask, lm_valid=lm_valid,
+                           fix_pose=fix_pose, fix_scale=fix_scale,
+                           plane_valid=window.plane_valid & keep)
+
+
+def _push_keyframe(window: Window, slot, stamp, pose, uvd, valid, plane,
+                   plane_ok, rig, cfg):
+    """Write a keyframe into ``slot`` (evicting its previous occupant) and
+    initialize new landmarks — the device-side ``push``
+    (bundle_adjuster_keyframes.cpp:289-329: depth-backproject if any camera
+    measured depth, else midpoint triangulation; failures retried on later
+    pushes). Also stores the frame's local groundplane estimate into the
+    keyframe slot (``Keyframe::local_ground_plane_``).
+
+    Returns (window, fresh [L] — rows whose landmark was initialized by THIS
+    push; label-derived per-row state is reset for them so a reused row never
+    inherits the previous occupant's labels)."""
     K, L = window.K, window.L
     dtype = window.poses.dtype
     oh = jax.nn.one_hot(slot, K, dtype=dtype)              # [K]
@@ -119,6 +166,9 @@ def _push_keyframe(window: Window, slot, stamp, pose, uvd, valid, rig, cfg):
                     window.obs)
     obs_mask = jnp.where(ohb[None, :, None],
                          valid[:, None, None], window.obs_mask)
+    planes = jnp.where(ohb[:, None], plane[None, :].astype(dtype),
+                       window.planes)
+    plane_valid = jnp.where(ohb, plane_ok, window.plane_valid)
 
     # ---- landmark initialization ------------------------------------
     f = rig.focal[0].astype(dtype)
@@ -151,11 +201,14 @@ def _push_keyframe(window: Window, slot, stamp, pose, uvd, valid, rig, cfg):
     lm_pos = jnp.where(init_depth[:, None], p_origin,
                        jnp.where(init_tri[:, None], tri_pos, window.lm_pos))
     lm_valid = window.lm_valid | init_depth | init_tri
-    # a freshly initialized row resets lm_has_depth (row slots are reused
-    # after GC on long drives — the previous occupant's flag must not leak)
-    lm_has_depth = jnp.where(init_depth | init_tri, init_depth,
-                             window.lm_has_depth) \
+    fresh = init_depth | init_tri
+    # a freshly initialized row resets per-landmark state (row slots are
+    # reused after GC on long drives — the previous occupant's depth flag,
+    # label weight, and gp flag must not leak)
+    lm_has_depth = jnp.where(fresh, init_depth, window.lm_has_depth) \
         | (lm_valid & valid & (d > 0))
+    lm_weight = jnp.where(fresh, jnp.ones((), dtype), window.lm_weight)
+    lm_is_gp = jnp.where(fresh, False, window.lm_is_gp)
 
     # GC: rows with no observation left in the window lose their landmark
     seen = jnp.any(obs_mask[:, :, 0] & kf_valid[None, :], axis=1)
@@ -169,22 +222,34 @@ def _push_keyframe(window: Window, slot, stamp, pose, uvd, valid, rig, cfg):
     return window._replace(
         stamps=stamps, poses=poses, kf_valid=kf_valid,
         fix_pose=fix_pose, fix_scale=fix_scale,
+        planes=planes, plane_valid=plane_valid,
         lm_pos=lm_pos, lm_valid=lm_valid, lm_has_depth=lm_has_depth,
-        obs=obs, obs_mask=obs_mask), (k0, k1)
+        lm_weight=lm_weight, lm_is_gp=lm_is_gp,
+        obs=obs, obs_mask=obs_mask), fresh
 
 
 def make_scan_step(rig, cfg, solve_budget: Optional[int] = None,
-                   prior_mode: str = "constant_velocity"):
+                   prior_mode: str = "constant_velocity",
+                   outlier_labels=DEFAULT_OUTLIER_LABELS,
+                   shrubbery_labels=DEFAULT_SHRUBBERY_LABELS,
+                   ground_labels=DEFAULT_GROUND_LABELS):
     """Build the per-frame scan step function.
 
     Returns ``step(state, frame) -> (state, FrameOut)`` with
-    ``frame = (stamp, uvd [L,3], valid [L])``, jit/scan/vmap-ready.
+    ``frame = (stamp, uvd [L,3], valid [L], label [L], flag_outlier [L],
+    plane [4], plane_ok, ext_prior [7], ext_prior_ok)``,
+    jit/scan/vmap-ready. Use :func:`frame_arrays` to build the per-frame
+    channels with reference defaults.
     """
     del solve_budget  # trim budgets come from cfg (solver/robust sections)
     wcfg = cfg.window
+    out_tab = jnp.asarray(sorted(outlier_labels), jnp.int32)
+    shrub_tab = jnp.asarray(sorted(shrubbery_labels), jnp.int32)
+    ground_tab = jnp.asarray(sorted(ground_labels), jnp.int32)
 
     def step(st: ScanState, frame):
-        stamp, uvd, valid, ext_prior, ext_prior_ok = frame
+        (stamp, uvd, valid, label, flag_out, plane, plane_ok,
+         ext_prior, ext_prior_ok) = frame
         dtype = st.cur_pose.dtype
         uvd = uvd.astype(dtype)
 
@@ -210,7 +275,8 @@ def make_scan_step(rig, cfg, solve_budget: Optional[int] = None,
         prior = jnp.where(ext_prior_ok, ext_prior.astype(dtype), prior)
 
         # ---- 2. motion-only refinement (adjustPoseOnly) ----------------
-        lm_mask = st.window.lm_valid & (st.sel_mask | (~jnp.any(st.sel_mask)))
+        lm_mask = st.window.lm_valid & (~st.lm_outlier) \
+            & (st.sel_mask | (~jnp.any(st.sel_mask)))
         n_usable = jnp.sum((lm_mask & valid).astype(jnp.int32))
         # plain reprojection here: the RotRocc divisor rewards large
         # rotations (cost → 0 as the rotation-only error grows), which an
@@ -219,7 +285,8 @@ def make_scan_step(rig, cfg, solve_budget: Optional[int] = None,
         # fresh per-frame 5-point estimate and it runs ≤4 iterations
         po = pose_only_step(prior, st.window.lm_pos, uvd[:, None, :],
                             (valid & lm_mask)[:, None], lm_mask, rig, cfg,
-                            max_iters=8, compensate_rotation=False)
+                            max_iters=8, compensate_rotation=False,
+                            lm_weight=st.window.lm_weight)
         refined = jnp.where((st.n_kf >= 1) & (n_usable >= 10), po.pose, prior)
         refined = pose_ops.normalize(refined)
 
@@ -230,48 +297,54 @@ def make_scan_step(rig, cfg, solve_budget: Optional[int] = None,
                               stamp, st.last_kf_stamp, cfg)
         take_kf = dec.is_keyframe | (st.n_kf == 0)
 
-        # ---- 4. push (ring write + landmark init) ----------------------
-        pushed, (k0, k1) = _push_keyframe(
-            st.window, st.ring_next, stamp, refined, uvd, valid, rig, cfg)
+        # ---- 4. push (slot write + landmark init + plane) --------------
+        slot = _write_slot(st.window.stamps, st.window.kf_valid)
+        pushed, fresh = _push_keyframe(
+            st.window, slot, stamp, refined, uvd, valid,
+            plane.astype(dtype), plane_ok, rig, cfg)
         window = jax.tree_util.tree_map(
             lambda a, b: jnp.where(take_kf, b, a), st.window, pushed)
+        fresh = fresh & take_kf
+        newest_slot = jnp.where(take_kf, slot, st.newest_slot)
 
-        # ---- 5. throttled windowed solve -------------------------------
+        # ---- 5. label flow (updateLabels, :388-431) ---------------------
+        # sticky per-row semantics applied from this frame's channels;
+        # fresh rows dropped their previous occupant's state in the push
+        lm_outlier = (st.lm_outlier & (~fresh)) \
+            | (valid & (flag_out | jnp.isin(label, out_tab)))
+        shrub = valid & jnp.isin(label, shrub_tab)
+        ground = valid & jnp.isin(label, ground_tab)
+        window = window._replace(
+            lm_weight=jnp.where(
+                shrub,
+                jnp.asarray(cfg.regularization.shrubbery_weight, dtype),
+                window.lm_weight),
+            lm_is_gp=window.lm_is_gp | ground)
+
+        # ---- 6. throttled windowed solve --------------------------------
+        # (deactivateKeyframes → selector stack → trimmed BA, the reference
+        # solve cadence: mono_lidar.cpp:243-262)
         do_solve = take_kf & (st.n_kf + 1 >= 3) & (
             stamp - st.last_solve_stamp >= 0.98 * wcfg.time_between_solves_sec)
 
-        def run_solve(w):
-            keep = cheirality_mask(w, rig) & w.lm_valid
-            ok0, ok1 = _oldest_two(w.stamps, w.kf_valid)
-            target = jnp.linalg.norm(w.poses[ok1, 4:] - w.poses[ok0, 4:])
-            n_depth = jnp.sum((w.obs_mask[:, :, 0] & (w.obs[:, :, 0, 2] > 0)
-                               & keep[:, None]).astype(jnp.int32))
-            # observed scale (many depth residuals) → weak pin, else hard pin
-            # (solve() scale logic, bundle_adjuster_keyframes.cpp:703-728)
-            scale_w = jnp.where(n_depth >= 30,
-                                1000.0 / jnp.maximum(n_depth, 1).astype(dtype),
-                                1000.0)
-            L = w.L
-            sel = Selection(
-                lm_selected=keep,
-                gp_kf=jnp.zeros((L,), jnp.int32),
-                gp_weight=jnp.zeros((L,), dtype),
-                scale_kf0=ok0, scale_kf1=ok1,
-                scale_target=target.astype(dtype),
-                scale_weight=scale_w.astype(dtype),
-                plane_dist_fixed=jnp.asarray(True),
-            )
+        def run_solve(operand):
+            w, lm_out = operand
+            w = _deactivate(w, newest_slot, cfg)
+            k0, k1 = _oldest_two(w.stamps, w.kf_valid)
+            sel, _cat = selection_for_solve(w, newest_slot, k0, k1, lm_out,
+                                            rig, cfg)
             w2, sel2, info = solve_trimmed(w, sel, rig, cfg)
             return w2, sel2.lm_selected, info.final_cost.astype(dtype)
 
-        def no_solve(w):
+        def no_solve(operand):
+            w, _ = operand
             return w, st.sel_mask, jnp.asarray(0.0, dtype)
 
         window, sel_mask, cost = jax.lax.cond(do_solve, run_solve, no_solve,
-                                              window)
+                                              (window, lm_outlier))
 
         # pose after a solve: the newest keyframe's optimized pose
-        slot_pose = window.poses[st.ring_next]
+        slot_pose = window.poses[newest_slot]
         out_pose = jnp.where(do_solve, slot_pose, refined)
 
         vel = jnp.where(st.n_kf > 0,
@@ -280,9 +353,9 @@ def make_scan_step(rig, cfg, solve_budget: Optional[int] = None,
                         pose_ops.identity(dtype))
         st2 = ScanState(
             window=window,
+            lm_outlier=lm_outlier,
             sel_mask=sel_mask,
-            ring_next=jnp.where(take_kf,
-                                (st.ring_next + 1) % window.K, st.ring_next),
+            newest_slot=newest_slot,
             n_kf=st.n_kf + take_kf.astype(jnp.int32),
             cur_pose=out_pose,
             vel=vel,
@@ -309,36 +382,82 @@ def _prior_arrays(priors, prior_valid, F, dtype):
     return p, ok
 
 
+def frame_arrays(stamps, uvd_seq, valid_seq, cfg, dtype=jnp.float32,
+                 labels=None, outlier_flags=None, planes=None, planes_ok=None,
+                 priors=None, prior_valid=None, stamp_dtype=jnp.float32):
+    """Assemble the full per-frame channel tuple the scan step consumes.
+
+    Defaults reproduce the reference launch graph when a channel is absent:
+    labels −2 (no semantics attached), no outlier flags, a per-frame
+    groundplane prior at ``height_over_ground`` below the vehicle origin
+    (the reference's plane default when the estimator publishes nothing),
+    no external prior."""
+    F = len(stamps)
+    L = np.asarray(uvd_seq).shape[1]
+    lab = (jnp.full((F, L), -2, jnp.int32) if labels is None
+           else jnp.asarray(labels, jnp.int32))
+    flg = (jnp.zeros((F, L), bool) if outlier_flags is None
+           else jnp.asarray(outlier_flags))
+    if planes is None:
+        hog = cfg.landmark_selection.height_over_ground
+        pl = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0, hog], dtype), (F, 4))
+        ok = jnp.ones((F,), bool)
+    else:
+        pl = jnp.asarray(planes, dtype)
+        ok = (jnp.ones((F,), bool) if planes_ok is None
+              else jnp.asarray(planes_ok))
+    p, pok = _prior_arrays(priors, prior_valid, F, dtype)
+    return (jnp.asarray(stamps, stamp_dtype), jnp.asarray(uvd_seq, dtype),
+            jnp.asarray(valid_seq), lab, flg, pl, ok, p, pok)
+
+
 def run_sequence(stamps, uvd_seq, valid_seq, rig, cfg, priors=None,
-                 prior_valid=None, dtype=jnp.float32):
+                 prior_valid=None, dtype=jnp.float32, labels=None,
+                 outlier_flags=None, planes=None, planes_ok=None):
     """Run a whole sequence through the scan program.
 
     stamps [F], uvd_seq [F,L,3], valid_seq [F,L] with L equal to the
     landmark capacity (cfg.capacity.max_landmarks). ``priors`` [F,7]
     optionally injects external pose priors (the reference's tf-odometry /
-    5-point path). Returns (final ScanState, FrameOut with frame axis).
+    5-point path); ``labels`` [F,L] per-row semantic labels; ``planes``
+    [F,4] per-frame groundplane estimates in the vehicle frame.
+    Returns (final ScanState, FrameOut with frame axis).
     """
     st = init_state(cfg.capacity, dtype)
     step = make_scan_step(rig, cfg)
     run = jax.jit(lambda st, xs: jax.lax.scan(step, st, xs))
-    F = len(stamps)
-    p, ok = _prior_arrays(priors, prior_valid, F, dtype)
-    return run(st, (jnp.asarray(stamps, st.window.stamps.dtype),
-                    jnp.asarray(uvd_seq, dtype),
-                    jnp.asarray(valid_seq), p, ok))
+    xs = frame_arrays(stamps, uvd_seq, valid_seq, cfg, dtype, labels,
+                      outlier_flags, planes, planes_ok, priors, prior_valid,
+                      stamp_dtype=st.window.stamps.dtype)
+    return run(st, xs)
 
 
 def _batched_run(stamps_b, uvd_b, valid_b, rig, cfg, priors_b,
-                 prior_valid_b, dtype):
+                 prior_valid_b, dtype, labels_b=None, outlier_flags_b=None,
+                 planes_b=None, planes_ok_b=None):
     """Shared assembly for run_batch/run_fleet: (vmapped runner, args)."""
     B, F = stamps_b.shape[0], stamps_b.shape[1]
+    L = np.asarray(uvd_b).shape[2]
     st = init_state(cfg.capacity, dtype)
     st_b = jax.tree_util.tree_map(lambda x: jnp.stack([x] * B), st)
     step = make_scan_step(rig, cfg)
 
-    def one(st, stamps, uvd, valid, p, ok):
-        return jax.lax.scan(step, st, (stamps, uvd, valid, p, ok))
+    def one(st, xs):
+        return jax.lax.scan(step, st, xs)
 
+    lab_b = (jnp.full((B, F, L), -2, jnp.int32) if labels_b is None
+             else jnp.asarray(labels_b, jnp.int32))
+    flg_b = (jnp.zeros((B, F, L), bool) if outlier_flags_b is None
+             else jnp.asarray(outlier_flags_b))
+    if planes_b is None:
+        hog = cfg.landmark_selection.height_over_ground
+        pl_b = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0, hog], dtype),
+                                (B, F, 4))
+        pok_b = jnp.ones((B, F), bool)
+    else:
+        pl_b = jnp.asarray(planes_b, dtype)
+        pok_b = (jnp.ones((B, F), bool) if planes_ok_b is None
+                 else jnp.asarray(planes_ok_b))
     if priors_b is None:
         p_b = jnp.zeros((B, F, 7), dtype).at[..., 0].set(1.0)
         ok_b = jnp.zeros((B, F), bool)
@@ -346,23 +465,26 @@ def _batched_run(stamps_b, uvd_b, valid_b, rig, cfg, priors_b,
         p_b = jnp.asarray(priors_b, dtype)
         ok_b = (jnp.ones((B, F), bool) if prior_valid_b is None
                 else jnp.asarray(prior_valid_b))
-    args = (st_b,
-            jnp.asarray(stamps_b, st.window.stamps.dtype),
-            jnp.asarray(uvd_b, dtype), jnp.asarray(valid_b), p_b, ok_b)
-    return jax.jit(jax.vmap(one)), args
+    xs = (jnp.asarray(stamps_b, st.window.stamps.dtype),
+          jnp.asarray(uvd_b, dtype), jnp.asarray(valid_b),
+          lab_b, flg_b, pl_b, pok_b, p_b, ok_b)
+    return jax.jit(jax.vmap(one)), (st_b, xs)
 
 
 def run_batch(stamps_b, uvd_b, valid_b, rig, cfg, priors_b=None,
-              prior_valid_b=None, dtype=jnp.float32):
+              prior_valid_b=None, dtype=jnp.float32, labels_b=None,
+              outlier_flags_b=None, planes_b=None, planes_ok_b=None):
     """vmapped multi-sequence run: leading batch axis on every input —
     the reference's serial per-sequence eval loop as one device program."""
     run, args = _batched_run(stamps_b, uvd_b, valid_b, rig, cfg,
-                             priors_b, prior_valid_b, dtype)
+                             priors_b, prior_valid_b, dtype, labels_b,
+                             outlier_flags_b, planes_b, planes_ok_b)
     return run(*args)
 
 
 def run_fleet(mesh, stamps_b, uvd_b, valid_b, rig, cfg, priors_b=None,
-              prior_valid_b=None, dtype=jnp.float32):
+              prior_valid_b=None, dtype=jnp.float32, labels_b=None,
+              outlier_flags_b=None, planes_b=None, planes_ok_b=None):
     """Sequence fleet sharded over the mesh's ``data`` axis — the TPU
     equivalent of the reference's serial per-sequence KITTI eval loop
     (kitti_eval_script.sh:54-115, SURVEY §3.5: "all 11 sequences as one
@@ -379,15 +501,16 @@ def run_fleet(mesh, stamps_b, uvd_b, valid_b, rig, cfg, priors_b=None,
     data = mesh.shape["data"]
     pad = (-B) % data
     if pad:
-        rep = lambda x: np.concatenate([x, np.repeat(x[:1], pad, axis=0)])
-        stamps_b, uvd_b, valid_b = rep(np.asarray(stamps_b)), \
-            rep(np.asarray(uvd_b)), rep(np.asarray(valid_b))
-        if priors_b is not None:
-            priors_b = rep(np.asarray(priors_b))
-            if prior_valid_b is not None:
-                prior_valid_b = rep(np.asarray(prior_valid_b))
+        rep = lambda x: (None if x is None else
+                         np.concatenate([x, np.repeat(np.asarray(x)[:1],
+                                                      pad, axis=0)]))
+        stamps_b, uvd_b, valid_b = rep(stamps_b), rep(uvd_b), rep(valid_b)
+        priors_b, prior_valid_b = rep(priors_b), rep(prior_valid_b)
+        labels_b, outlier_flags_b = rep(labels_b), rep(outlier_flags_b)
+        planes_b, planes_ok_b = rep(planes_b), rep(planes_ok_b)
     run, args = _batched_run(stamps_b, uvd_b, valid_b, rig, cfg,
-                             priors_b, prior_valid_b, dtype)
+                             priors_b, prior_valid_b, dtype, labels_b,
+                             outlier_flags_b, planes_b, planes_ok_b)
     args = jax.device_put(args, NamedSharding(mesh, P("data")))
     final, outs = run(*args)
     if pad:
@@ -396,38 +519,52 @@ def run_fleet(mesh, stamps_b, uvd_b, valid_b, rig, cfg, priors_b=None,
     return final, outs
 
 
-def make_tuning_runner(rig, cfg, dtype=jnp.float32):
+def make_tuning_runner(rig, cfg):
     """Build the vmapped tuning-scan runner ONCE.
+
+    Grid rows are ``(depth_thres, reprojection_thres)`` or
+    ``(depth_thres, reprojection_thres, shrubbery_weight)`` — the full
+    reference sweep (``res/tune_parameters_kitti.py:3-17``); shrubbery flows
+    through the scan step's label channel as a traced weight.
 
     The returned jitted callable is reused across equal-shape grid chunks —
     a fresh ``jax.jit`` wrapper per chunk would miss JAX's trace/lowering
-    caches and re-pay the full compile every call.
+    caches and re-pay the full compile every call. Dtype follows the state /
+    data arrays the caller passes in.
     """
     import dataclasses
 
-    def one(params, st, stamps, uvd, valid, p, ok):
-        tcfg = dataclasses.replace(cfg, robust=dataclasses.replace(
-            cfg.robust, depth_thres=params[0],
-            reprojection_thres=params[1]))
+    def one(params, st, xs):
+        reg = cfg.regularization
+        if params.shape[0] >= 3:
+            reg = dataclasses.replace(reg, shrubbery_weight=params[2])
+        tcfg = dataclasses.replace(
+            cfg,
+            robust=dataclasses.replace(cfg.robust, depth_thres=params[0],
+                                       reprojection_thres=params[1]),
+            regularization=reg)
         step = make_scan_step(rig, tcfg)
-        return jax.lax.scan(step, st, (stamps, uvd, valid, p, ok))
+        return jax.lax.scan(step, st, xs)
 
-    return jax.jit(jax.vmap(one,
-                            in_axes=(0, 0, None, None, None, None, None)))
+    return jax.jit(jax.vmap(one, in_axes=(0, 0, None)))
 
 
 def run_tuning_grid(stamps, uvd_seq, valid_seq, rig, cfg, grid,
-                    dtype=jnp.float32, max_chunk: Optional[int] = None):
+                    dtype=jnp.float32, max_chunk: Optional[int] = None,
+                    labels=None, outlier_flags=None, planes=None,
+                    planes_ok=None):
     """Every tuning grid point as one row of ONE vmapped device program.
 
     The reference's parameter search replays the full dataset once per grid
     point (``res/tune_parameters_kitti.py:3-17`` × ``kitti_eval_script.sh``
-    — hours per sweep). Here the robust loss scales are *traced* scalars:
-    ``grid [G,2]`` rows are ``(depth_thres, reprojection_thres)`` and the
-    whole sweep over the SAME sequence (broadcast, not copied per point) is
-    one compile + one dispatch. Pallas assembly bakes the scales in as
-    kernel constants, so this path automatically falls back to the
-    scatter-free einsum assembly (see ``ba_core``'s ``static_thres`` gate).
+    — hours per sweep). Here the robust loss scales (and optionally the
+    shrubbery weight) are *traced* scalars: ``grid [G,2]`` rows are
+    ``(depth_thres, reprojection_thres)``, ``grid [G,3]`` adds
+    ``shrubbery_weight``, and the whole sweep over the SAME sequence
+    (broadcast, not copied per point) is one compile + one dispatch. Pallas
+    assembly bakes the scales in as kernel constants, so this path
+    automatically falls back to the scatter-free einsum assembly (see
+    ``ba_core``'s ``static_thres`` gate).
 
     ``max_chunk`` (optional) bounds the vmap width: the grid is split into
     *balanced* equal chunks (last one padded by repeating row 0) that all
@@ -440,17 +577,16 @@ def run_tuning_grid(stamps, uvd_seq, valid_seq, rig, cfg, grid,
     """
     grid = np.asarray(grid, np.float64)
     G = grid.shape[0]
-    F = len(stamps)
     st = init_state(cfg.capacity, dtype)
-    run = make_tuning_runner(rig, cfg, dtype)
-    p, ok = _prior_arrays(None, None, F, dtype)
-    data = (jnp.asarray(stamps, st.window.stamps.dtype),
-            jnp.asarray(uvd_seq, dtype), jnp.asarray(valid_seq), p, ok)
+    run = make_tuning_runner(rig, cfg)
+    data = frame_arrays(stamps, uvd_seq, valid_seq, cfg, dtype, labels,
+                        outlier_flags, planes, planes_ok,
+                        stamp_dtype=st.window.stamps.dtype)
 
     def run_rows(rows):
         st_b = jax.tree_util.tree_map(
             lambda x: jnp.stack([x] * rows.shape[0]), st)
-        return run(jnp.asarray(rows, dtype), st_b, *data)
+        return run(jnp.asarray(rows, dtype), st_b, data)
 
     if max_chunk is None or G <= max_chunk:
         return run_rows(grid)

@@ -42,10 +42,19 @@ class SyntheticWorld:
     principal: np.ndarray
     T_cam_veh: np.ndarray        # [7]
     image_size: Tuple[int, int]  # (width, height)
+    labels: Optional[np.ndarray] = None      # [M] int semantic label (-2 none)
+    velocities: Optional[np.ndarray] = None  # [M,3] m/s (dynamic objects)
+    cam_height: float = 1.65
 
     def kitti_gt(self) -> np.ndarray:
         """[F,4,4] origin←frame matrices (KITTI convention)."""
         return pose_host.to_matrix(pose_host.inverse(self.poses_veh))
+
+    def landmarks_at(self, frame_idx: int) -> np.ndarray:
+        """[M,3] landmark positions at a frame (dynamic objects move)."""
+        if self.velocities is None:
+            return self.landmarks
+        return self.landmarks + self.velocities * self.stamps[frame_idx]
 
 
 def make_world(num_frames: int = 60, hz: float = 10.0, speed: float = 10.0,
@@ -53,14 +62,24 @@ def make_world(num_frames: int = 60, hz: float = 10.0, speed: float = 10.0,
                n_ground: int = 200, seed: int = 0,
                focal: float = 718.0, pp=(607.0, 185.0),
                image_size=(1241, 376), cam_height: float = 1.65,
-               yaw_rate_profile: Optional[np.ndarray] = None
+               yaw_rate_profile: Optional[np.ndarray] = None,
+               n_shrubbery: int = 0, n_dynamic: int = 0,
+               dynamic_speed: float = 8.0
                ) -> SyntheticWorld:
     """Vehicle drives forward (+x) with a gentle yaw; landmarks populate a
     corridor along the path; ground points lie on z = -cam_height.
 
     ``yaw_rate_profile`` ([num_frames] rad/m) overrides the constant
     ``yaw_rate`` — S-curves for kilometre-scale drives that shouldn't close
-    into a circle."""
+    into a circle.
+
+    Adversarial knobs (reference failure modes the robust machinery exists
+    for): ``n_shrubbery`` vegetation points (cityscapes label 21 — the
+    shrubbery-weight target; observe with extra pixel jitter via
+    ``dense_tracks(..., shrubbery_px_noise=...)``); ``n_dynamic`` points on
+    moving objects (label 26 'car' — in the outlier label set), grouped into
+    ~10-point clusters that each share a coherent wrong motion of magnitude
+    ``dynamic_speed`` m/s."""
     rng = np.random.default_rng(seed)
     dt = 1.0 / hz
     stamps = np.arange(num_frames) * dt
@@ -117,13 +136,37 @@ def make_world(num_frames: int = 60, hz: float = 10.0, speed: float = 10.0,
 
     structure = along_path(n_landmarks, -25, 25, -1.0, 4.0)
     ground = along_path(n_ground, -8, 8, -cam_height, -cam_height)
-    landmarks = np.concatenate([structure, ground])
-    is_ground = np.concatenate([np.zeros(n_landmarks, bool), np.ones(n_ground, bool)])
+    parts = [structure, ground]
+    labels = [np.full(n_landmarks, -2, np.int32), np.full(n_ground, 7, np.int32)]
+    vels = [np.zeros((n_landmarks + n_ground, 3))]
+    if n_shrubbery:
+        parts.append(along_path(n_shrubbery, -20, 20, -1.0, 2.0))
+        labels.append(np.full(n_shrubbery, 21, np.int32))
+        vels.append(np.zeros((n_shrubbery, 3)))
+    if n_dynamic:
+        # clusters of ~10 points sharing one coherent wrong motion each
+        n_clusters = max(1, n_dynamic // 10)
+        centers = along_path(n_clusters, -6, 6, -0.5, 1.5)
+        cidx = rng.integers(0, n_clusters, n_dynamic)
+        pts = centers[cidx] + rng.uniform(-1.5, 1.5, (n_dynamic, 3))
+        ang = rng.uniform(0, 2 * np.pi, n_clusters)
+        cvel = dynamic_speed * np.stack(
+            [np.cos(ang), np.sin(ang), np.zeros(n_clusters)], -1)
+        parts.append(pts)
+        labels.append(np.full(n_dynamic, 26, np.int32))  # cityscapes 'car'
+        vels.append(cvel[cidx])
+    landmarks = np.concatenate(parts)
+    label_arr = np.concatenate(labels)
+    vel_arr = np.concatenate(vels)
+    is_ground = label_arr == 7
 
     return SyntheticWorld(
         poses_veh=poses_veh, stamps=stamps, landmarks=landmarks,
         is_ground=is_ground, focal=focal, principal=np.asarray(pp),
-        T_cam_veh=kitti_like_extrinsics(cam_height), image_size=image_size)
+        T_cam_veh=kitti_like_extrinsics(cam_height), image_size=image_size,
+        labels=label_arr,
+        velocities=vel_arr if np.any(vel_arr) else None,
+        cam_height=cam_height)
 
 
 class SyntheticTracker:
@@ -154,7 +197,7 @@ class SyntheticTracker:
     def observe(self, frame_idx: int) -> None:
         w = self.w
         T_cam_origin = pose_host.compose(w.T_cam_veh, w.poses_veh[frame_idx])
-        p_cam = pose_host.apply(T_cam_origin, w.landmarks)
+        p_cam = pose_host.apply(T_cam_origin, w.landmarks_at(frame_idx))
         z = p_cam[:, 2]
         uv = w.focal * p_cam[:, :2] / np.maximum(z[:, None], 1e-6) + w.principal
         W, H = w.image_size
@@ -192,7 +235,10 @@ class SyntheticTracker:
         age = mask.sum(1).astype(np.int32)
         label = np.full(N, -2, np.int32)
         if self.label_ground:
-            label[self.w.is_ground[ids]] = 7  # cityscapes road
+            if self.w.labels is not None:
+                label = self.w.labels[ids].astype(np.int32).copy()
+            else:
+                label[self.w.is_ground[ids]] = 7  # cityscapes road
         return Tracklets(stamps=stamps, uvd=uvd, mask=mask,
                          ids=ids.astype(np.int64), age=age,
                          is_outlier=np.zeros(N, bool), label=label)
@@ -201,20 +247,24 @@ class SyntheticTracker:
 def dense_tracks(world: SyntheticWorld, num_rows: int,
                  pixel_noise: float = 0.3, depth_noise: float = 0.03,
                  with_depth: bool = False, depth_fraction: float = 0.6,
-                 max_range: float = 80.0, seed: int = 1):
+                 max_range: float = 80.0, seed: int = 1,
+                 with_labels: bool = False,
+                 shrubbery_px_noise: float = 0.0,
+                 depth_outlier_fraction: float = 0.0,
+                 depth_dropout: Optional[Tuple[int, int]] = None):
     """Dense per-frame observation tensors for the scan-odometry evaluator
     (:mod:`limo_tpu.pipeline.scan_odometry`): landmark row = world landmark
     index (capacity-padded).
 
-    Returns (stamps [F], uvd [F,R,3], valid [F,R]) with R = num_rows.
+    Returns (stamps [F], uvd [F,R,3], valid [F,R]); with ``with_labels``
+    additionally the per-row semantic labels [F,R] (int8; −2 = none).
     """
-    rng = np.random.default_rng(seed)
-    F_n = world.poses_veh.shape[0]
-    M = world.landmarks.shape[0]
-    assert M <= num_rows, (M, num_rows)
-    del rng, F_n  # recomputed below (kept for signature clarity)
-    return _dense_tracks_impl(world, num_rows, None, pixel_noise, depth_noise,
-                              with_depth, depth_fraction, max_range, seed)[:3]
+    out = _dense_tracks_impl(world, num_rows, None, pixel_noise, depth_noise,
+                             with_depth, depth_fraction, max_range, seed,
+                             shrubbery_px_noise=shrubbery_px_noise,
+                             depth_outlier_fraction=depth_outlier_fraction,
+                             depth_dropout=depth_dropout)
+    return out[:3] + ((out[5],) if with_labels else ())
 
 
 def dense_tracks_packed(world: SyntheticWorld, num_rows: int,
@@ -222,7 +272,10 @@ def dense_tracks_packed(world: SyntheticWorld, num_rows: int,
                         pixel_noise: float = 0.3, depth_noise: float = 0.03,
                         with_depth: bool = True, depth_fraction: float = 0.6,
                         max_range: float = 80.0, seed: int = 1,
-                        min_run: int = 3):
+                        min_run: int = 3, with_labels: bool = False,
+                        shrubbery_px_noise: float = 0.0,
+                        depth_outlier_fraction: float = 0.0,
+                        depth_dropout: Optional[Tuple[int, int]] = None):
     """Row-*packed* dense tracks for long drives: the world may contain far
     more landmarks than ``num_rows``.
 
@@ -239,16 +292,23 @@ def dense_tracks_packed(world: SyntheticWorld, num_rows: int,
     Returns (stamps [F], uvd [F,R,3], valid [F,R], n_dropped, runs [N,4])
     where ``n_dropped`` counts runs that found no free row (size
     ``num_rows`` so this stays 0) and ``runs`` rows are
-    (landmark index, first frame, last frame, assigned row).
+    (landmark index, first frame, last frame, assigned row); with
+    ``with_labels`` additionally the per-row labels [F,R].
     """
-    return _dense_tracks_impl(world, num_rows, reuse_gap_frames, pixel_noise,
-                              depth_noise, with_depth, depth_fraction,
-                              max_range, seed, min_run)
+    out = _dense_tracks_impl(world, num_rows, reuse_gap_frames, pixel_noise,
+                             depth_noise, with_depth, depth_fraction,
+                             max_range, seed, min_run,
+                             shrubbery_px_noise=shrubbery_px_noise,
+                             depth_outlier_fraction=depth_outlier_fraction,
+                             depth_dropout=depth_dropout)
+    return out if with_labels else out[:5]
 
 
 def _dense_tracks_impl(world, num_rows, reuse_gap_frames, pixel_noise,
                        depth_noise, with_depth, depth_fraction, max_range,
-                       seed, min_run: int = 3):
+                       seed, min_run: int = 3, shrubbery_px_noise: float = 0.0,
+                       depth_outlier_fraction: float = 0.0,
+                       depth_dropout=None):
     import heapq
 
     rng = np.random.default_rng(seed)
@@ -256,16 +316,22 @@ def _dense_tracks_impl(world, num_rows, reuse_gap_frames, pixel_noise,
     M = world.landmarks.shape[0]
     W, H = world.image_size
     f, pp = world.focal, world.principal
+    lm_labels = (world.labels if world.labels is not None
+                 else np.full(M, -2, np.int32))
 
     has_depth_row = rng.uniform(size=M) < depth_fraction
 
     # clean projections for all frames — host-side numpy broadcasting
     # ([F,1,7] poses × [M,3] landmarks): generation must not ship an
     # [F,M,3] f64 tensor over a remote TPU link (~140 MB at km scale)
+    lms = world.landmarks
+    if world.velocities is not None:
+        # dynamic objects: coherent cluster motion (positions per frame)
+        lms = (world.landmarks[None] +
+               world.velocities[None] * world.stamps[:, None, None])
     p_cam_all = pose_host.apply(
         world.T_cam_veh,
-        pose_host.apply(world.poses_veh[:, None, :],
-                        world.landmarks))                      # [F,M,3]
+        pose_host.apply(world.poses_veh[:, None, :], lms))     # [F,M,3]
     z_all = p_cam_all[..., 2]
     ok_z = z_all > 0.5
     uv_all = np.zeros((F_n, M, 2))
@@ -281,18 +347,43 @@ def _dense_tracks_impl(world, num_rows, reuse_gap_frames, pixel_noise,
     uvd = np.zeros((F_n, num_rows, 3), np.float64)
     uvd[..., 2] = -1.0
     valid = np.zeros((F_n, num_rows), bool)
+    labels_arr = np.full((F_n, num_rows), -2, np.int8)
+    is_shrub = lm_labels == 21
+
+    def noisy_uv(i):
+        uv = uv_all[i] + rng.normal(0, pixel_noise, (M, 2))
+        if shrubbery_px_noise > 0 and np.any(is_shrub):
+            # vegetation wobble: leaves move between frames, feature matches
+            # on them carry extra error — what shrubbery_weight exists for
+            uv[is_shrub] += rng.normal(0, shrubbery_px_noise,
+                                       (int(is_shrub.sum()), 2))
+        return uv
+
+    # heavy-tailed lidar failures are per-LANDMARK systematic (the depth
+    # estimator locks onto the wrong histogram segment / background for a
+    # feature and stays wrong — mono_lidar_fusion failure mode), which is
+    # exactly the per-group fault solveTrimmed's landmark-group rejection
+    # targets; per-frame random errors would just be absorbed by Cauchy
+    bad_depth_lm = rng.uniform(size=M) < depth_outlier_fraction
+    depth_bias = np.where(bad_depth_lm, rng.uniform(1.4, 3.0, M), 1.0)
+
+    def depth_col(i):
+        d = z_all[i] * depth_bias + rng.normal(0, depth_noise, M)
+        ok = vis[i] & has_depth_row
+        if depth_dropout is not None and depth_dropout[0] <= i < depth_dropout[1]:
+            ok = np.zeros(M, bool)       # lidar outage: mono-only stretch
+        return np.where(ok, d, -1.0)
 
     if reuse_gap_frames is None:                 # identity (dense_tracks)
         assert M <= num_rows, (M, num_rows)
         row_of = np.arange(M)
+        labels_arr[:, :M] = lm_labels[None, :]
         for i in range(F_n):
-            uv = uv_all[i] + rng.normal(0, pixel_noise, (M, 2))
-            uvd[i, :M, :2] = uv
+            uvd[i, :M, :2] = noisy_uv(i)
             if with_depth:
-                d = z_all[i] + rng.normal(0, depth_noise, M)
-                uvd[i, :M, 2] = np.where(vis[i] & has_depth_row, d, -1.0)
+                uvd[i, :M, 2] = depth_col(i)
             valid[i, :M] = vis[i]
-        return world.stamps.copy(), uvd, valid, n_dropped, row_of
+        return world.stamps.copy(), uvd, valid, n_dropped, row_of, labels_arr
 
     # split visibility into contiguous runs (tracker re-labels re-found
     # features as new tracks)
@@ -328,16 +419,16 @@ def _dense_tracks_impl(world, num_rows, reuse_gap_frames, pixel_noise,
     row_at = np.full((F_n, M), -1, np.int32)
     for m, f0, f1, r in runs:
         row_at[f0:f1 + 1, m] = r
+        labels_arr[f0:f1 + 1, r] = lm_labels[m]
 
     # ---- noisy measurements into row-major tensors ----------------------
     for i in range(F_n):
-        uv = uv_all[i] + rng.normal(0, pixel_noise, (M, 2))
+        uv = noisy_uv(i)
         assigned = row_at[i] >= 0
         rows = row_at[i, assigned]
         uvd[i, rows, :2] = uv[assigned]
         if with_depth:
-            d = z_all[i] + rng.normal(0, depth_noise, M)
-            dm = vis[i] & has_depth_row
-            uvd[i, rows, 2] = np.where(dm[assigned], d[assigned], -1.0)
+            d = depth_col(i)
+            uvd[i, rows, 2] = d[assigned]
         valid[i, rows] = vis[i, assigned]
-    return world.stamps.copy(), uvd, valid, n_dropped, runs_arr
+    return world.stamps.copy(), uvd, valid, n_dropped, runs_arr, labels_arr

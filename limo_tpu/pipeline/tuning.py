@@ -104,6 +104,7 @@ def _sorted_points(out: List[GridPoint], key: str) -> List[GridPoint]:
 
 def grid_search_fused(depth_thres: Sequence[float] = REFERENCE_DEPTH_THRES,
                       reprojection_thres: Sequence[float] = REFERENCE_REPR_THRES,
+                      shrubbery_weights: Sequence[float] = REFERENCE_SHRUBBERY,
                       num_frames: int = 40, seed: int = 0,
                       base_cfg: Optional[LimoConfig] = None,
                       landmark_rows: int = 512,
@@ -114,14 +115,16 @@ def grid_search_fused(depth_thres: Sequence[float] = REFERENCE_DEPTH_THRES,
 
     The reference replays the full dataset once per grid point (hours per
     sweep); :func:`grid_search` mirrors that shape (one evaluation per
-    point, each a fresh compile of the loss constants). Here the two loss
-    scales are *traced* scalars vmapped over a ``[G,2]`` grid axis
+    point, each a fresh compile of the loss constants). Here all THREE
+    reference sweep dimensions (``res/tune_parameters_kitti.py:3-17``:
+    depth_thres × reprojection_thres × shrubbery_weight) are *traced*
+    scalars vmapped over a ``[G,3]`` grid axis
     (:func:`limo_tpu.pipeline.scan_odometry.run_tuning_grid`): the sequence
     is broadcast, the sweep is one compile + one dispatch, and every grid
-    point's full trajectory comes back in a single fetch.
-
-    ``shrubbery_weight`` is not swept on-device (semantic labels do not flow
-    through the scan program); points report the base config's value.
+    point's full trajectory comes back in a single fetch. Shrubbery flows
+    through the scan step's semantic label channel (the synthetic world
+    plants labeled vegetation observed with extra pixel jitter, so the
+    weight has something to tune against).
 
     Grids larger than ``max_chunk`` run as balanced equal chunks through the
     SAME compiled runner (one compile total; see
@@ -140,35 +143,40 @@ def grid_search_fused(depth_thres: Sequence[float] = REFERENCE_DEPTH_THRES,
     if key not in ("t_err_percent", "r_err_deg_per_m", "ate_m"):
         raise ValueError(f"unknown sort key {key!r}")
     cfg = base_cfg or LimoConfig()
-    cfg = dataclasses.replace(cfg, capacity=dataclasses.replace(
-        cfg.capacity, max_keyframes=12, max_landmarks=landmark_rows,
-        max_cameras=1))
+    cfg = dataclasses.replace(
+        cfg,
+        capacity=dataclasses.replace(
+            cfg.capacity, max_keyframes=12, max_landmarks=landmark_rows,
+            max_cameras=1),
+        landmark_selection=dataclasses.replace(
+            cfg.landmark_selection, height_over_ground=1.65))
     # size the world to the row capacity (identity row layout: one row per
     # world landmark)
-    n_lm = min(300, int(landmark_rows * 0.7))
+    n_lm = min(260, int(landmark_rows * 0.6))
+    n_shrub = min(60, max(0, landmark_rows - n_lm - 80))
     world = make_world(num_frames=num_frames, speed=8.0, yaw_rate=0.015,
                        n_landmarks=n_lm, n_ground=min(80, landmark_rows - n_lm),
-                       seed=seed)
-    stamps, uvd, valid = dense_tracks(world, landmark_rows, with_depth=True,
-                                      seed=seed + 100)
+                       n_shrubbery=n_shrub, seed=seed)
+    stamps, uvd, valid, labels = dense_tracks(
+        world, landmark_rows, with_depth=True, seed=seed + 100,
+        with_labels=True, shrubbery_px_noise=1.5)
     rig = CameraRig.single(world.focal, world.principal[0],
                            world.principal[1],
                            T_cam_veh=world.T_cam_veh)
-    grid = np.asarray(list(itertools.product(depth_thres,
-                                             reprojection_thres)))
+    grid = np.asarray(list(itertools.product(depth_thres, reprojection_thres,
+                                             shrubbery_weights)))
     _, outs = so.run_tuning_grid(stamps, uvd, valid, rig, cfg, grid,
-                                 max_chunk=max_chunk)
+                                 max_chunk=max_chunk, labels=labels)
     # ONE fetch of every trajectory; the metrics loop below is pure numpy
     outs = jax.device_get(outs)
 
     gt = world.kitti_gt()
-    shrub = cfg.regularization.shrubbery_weight
     out: List[GridPoint] = []
-    for g, (d, r) in enumerate(grid):
+    for g, (d, r, s) in enumerate(grid):
         est = so.poses_kitti(jax.tree_util.tree_map(lambda x, g=g: x[g],
                                                     outs))
         drift = kitti_drift(gt, est, lengths=(20.0, 30.0), step=5)
-        pt = GridPoint(float(d), float(r), shrub,
+        pt = GridPoint(float(d), float(r), float(s),
                        ate=ate_rmse(gt, est),
                        drift_t=drift["t_err_percent"],
                        drift_r=drift["r_err_deg_per_m"])
@@ -202,12 +210,9 @@ def main():  # pragma: no cover — manual entry
     from ..utils import enable_compilation_cache
     enable_compilation_cache()
     if args.fused:
-        if list(args.shrubbery) != list(REFERENCE_SHRUBBERY):
-            print("# WARNING: --fused sweeps only (depth_thres, "
-                  "reprojection_thres); --shrubbery is ignored (labels do "
-                  "not flow through the scan program)")
         pts = grid_search_fused(depth_thres=args.depth,
                                 reprojection_thres=args.repr_,
+                                shrubbery_weights=args.shrubbery,
                                 num_frames=args.frames, verbose=True)
     else:
         pts = grid_search(

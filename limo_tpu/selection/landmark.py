@@ -141,7 +141,7 @@ def _dist_to_path(points: jnp.ndarray, path: jnp.ndarray, path_valid: jnp.ndarra
 
 
 def voxel_scheme(window: Window, newest_kf: jnp.ndarray, candidates: jnp.ndarray,
-                 cfg) -> VoxelResult:
+                 cfg, last_kf=None) -> VoxelResult:
     """``LandmarkSparsificationSchemeVoxel``
     (landmark_selection_scheme_voxel.cpp:37-233):
 
@@ -193,7 +193,8 @@ def voxel_scheme(window: Window, newest_kf: jnp.ndarray, candidates: jnp.ndarray
     middle_mask = rep & (dist >= mid_thres)
 
     # --- caps ---
-    last_kf = jnp.maximum(newest_kf - 1, 0)
+    if last_kf is None:  # fall back to slot adjacency (time-ordered slots)
+        last_kf = jnp.maximum(newest_kf - 1, 0)
     flow, _ = landmark_flow(window, newest_kf, last_kf)
     near_sel = _masked_topk_mask(flow, near_mask, ls.max_number_landmarks_near_bin)
     rand_scores = _hash_u32(jnp.arange(window.L) + window.lm_id).astype(dtype)
@@ -216,7 +217,7 @@ def voxel_scheme(window: Window, newest_kf: jnp.ndarray, candidates: jnp.ndarray
 
 def observability_scheme(window: Window, newest_kf: jnp.ndarray,
                          candidates: jnp.ndarray, cfg,
-                         bin_bounds=(0.4, 0.2)) -> VoxelResult:
+                         bin_bounds=(0.4, 0.2), last_kf=None) -> VoxelResult:
     """``LandmarkSparsificationSchemeObservability``
     (landmark_selection_scheme_observability.cpp:52-169): bin landmarks
     near/middle/far by flow relative to the maximum flow (bounds 0.4/0.2 of
@@ -224,7 +225,8 @@ def observability_scheme(window: Window, newest_kf: jnp.ndarray,
     ls = cfg.landmark_selection
     dtype = window.lm_pos.dtype
     alive = candidates & window.lm_valid
-    last_kf = jnp.maximum(newest_kf - 1, 0)
+    if last_kf is None:
+        last_kf = jnp.maximum(newest_kf - 1, 0)
     flow, has_flow = landmark_flow(window, newest_kf, last_kf)
     max_flow = jnp.max(jnp.where(alive & has_flow, flow, 0.0))
     hi = bin_bounds[0] * max_flow

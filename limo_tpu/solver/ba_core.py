@@ -164,8 +164,12 @@ def _obs_system(window: Window, sel: Selection, rig, cfg,
     base_ok = (window.obs_mask & lm_active[:, None, None]
                & window.kf_valid[None, :, None])
     repr_ok = base_ok & proj_ok.reshape(L, K, C)
+    # cheirality guard on depth rows: z_cam = r_d + d_measured must be > 0
+    # (post-trim window updates can momentarily push a landmark behind the
+    # camera; the reference removes those in the pre-solve selector only)
+    z_cam = r[..., 2] + window.obs[..., 2]
     depth_ok = base_ok & (window.obs[..., 2] > 0) \
-        & window.lm_has_depth[:, None, None]
+        & window.lm_has_depth[:, None, None] & (z_cam > 0)
 
     s_repr = jnp.sum(r[..., :2] ** 2, -1)
     s_depth = r[..., 2] ** 2
@@ -485,13 +489,21 @@ def _regularizer_system(window: Window, sel: Selection, cfg, speed_reg, pose_onl
     reg = cfg.regularization
     w_gp = reg.gp_reg_weight
 
-    # consecutive active keyframe chain: for each k, next active kf index.
-    # Precomputed as arrays: chain_ok[k] = kf_valid[k] & kf_valid[next[k]]
+    # consecutive-in-TIME active keyframe chain. Window slots are NOT
+    # time-ordered in general (both the host slot allocator and the scan
+    # ring reuse evicted slots), so the chain pairs come from a stamp sort:
+    # pair i links the i-th and (i+1)-th oldest active keyframes — exactly
+    # the reference's consecutive-keyframe chains
+    # (addGroundplaneRegularization, bundle_adjuster_keyframes.cpp:769-818).
     kf_valid = window.kf_valid
-    # window slots are kept time-ordered by the host manager; chain is k -> k+1
-    chain_ok = kf_valid[:-1] & kf_valid[1:]
+    big = jnp.asarray(jnp.inf, window.stamps.dtype)
+    order = jnp.argsort(jnp.where(kf_valid, window.stamps, big))
+    ia, ib = order[:-1], order[1:]
+    n_valid = jnp.sum(kf_valid.astype(jnp.int32))
+    pair_ok = jnp.arange(K - 1) < (n_valid - 1)
+    chain_ok = pair_ok
     plane_ok = window.plane_valid & kf_valid
-    chain_plane_ok = plane_ok[:-1] & plane_ok[1:]
+    chain_plane_ok = pair_ok & plane_ok[ia] & plane_ok[ib]
 
     def all_res(delta):
         dp = delta[:, :6]
@@ -504,12 +516,12 @@ def _regularizer_system(window: Window, sel: Selection, cfg, speed_reg, pose_onl
         p1 = poses[sel.scale_kf1]
         r_scale, _ = res_k.pose_scale(p1, p0, sel.scale_target)
         parts.append(r_scale)
-        # plane chains
-        r_ndiff, _ = res_k.vector_difference(planes[:-1, :3], planes[1:, :3])
+        # plane chains (time-ordered pairs)
+        r_ndiff, _ = res_k.vector_difference(planes[ia, :3], planes[ib, :3])
         parts.append(r_ndiff.reshape(-1))
-        r_ddiff = planes[:-1, 3] - planes[1:, 3]
+        r_ddiff = planes[ia, 3] - planes[ib, 3]
         parts.append(r_ddiff)
-        r_motion, _ = res_k.groundplane_motion(poses[:-1], poses[1:], planes[:-1, :3])
+        r_motion, _ = res_k.groundplane_motion(poses[ia], poses[ib], planes[ia, :3])
         parts.append(r_motion.reshape(-1))
         # plane prior to (0,0,1)
         prior = jnp.array([0.0, 0.0, 1.0], dtype)
@@ -532,7 +544,7 @@ def _regularizer_system(window: Window, sel: Selection, cfg, speed_reg, pose_onl
         sel.scale_weight[None],
         (3.0 * w_gp) * jnp.repeat(chain_plane_ok.astype(dtype), 3),
         w_gp * chain_plane_ok.astype(dtype),
-        (2.0 * w_gp) * (chain_ok & plane_ok[:-1]).astype(dtype),
+        (2.0 * w_gp) * (chain_ok & plane_ok[ia]).astype(dtype),
         w_gp * plane_ok.astype(dtype).repeat(3),
     ]
     if speed_reg is not None:

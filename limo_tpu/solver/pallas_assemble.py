@@ -105,7 +105,8 @@ def _kernel(K, C, a2r, a2d,
             ov = vec(obs_ref, 3 * row + 1)
             od = vec(obs_ref, 3 * row + 2)
             m_repr = vec(repr_base_ref, row) * proj_ok.astype(f32)
-            m_depth = vec(depth_base_ref, row)
+            # depth rows need z > 0 (cheirality), matching ba_core's einsum path
+            m_depth = vec(depth_base_ref, row) * (z > 0.0).astype(f32)
 
             r_u = fl * xz + cx - ou
             r_v = fl * yz + cy - ov

@@ -47,20 +47,30 @@ def _residuals_all(pose, lm_pos, obs, obs_mask, lm_mask, rig, cfg,
         f, pp, tcv, obs, obs_mask)
     valid = obs_mask & lm_mask[:, None]
     repr_ok = valid & proj_ok
-    depth_ok = valid & (obs[..., 2] > 0)
+    # cheirality guard on the depth residual: z_cam = r_d + d_measured must be
+    # positive (a landmark behind the camera must not contribute a depth row)
+    z_cam = r[..., 2] + obs[..., 2]
+    depth_ok = valid & (obs[..., 2] > 0) & (z_cam > 0)
     return r, repr_ok, depth_ok
 
 
 def pose_only_step(pose_prior, lm_pos, obs, obs_mask, lm_mask, rig, cfg,
                    speed_reg=None, max_iters: int = 4,
-                   compensate_rotation: bool = False) -> PoseOnlyResult:
+                   compensate_rotation: bool = False,
+                   lm_weight=None) -> PoseOnlyResult:
     """Optimize one pose against fixed landmarks.
 
     lm_pos [L,3], obs [L,C,3], obs_mask [L,C], lm_mask [L] (last selection).
     speed_reg: (pose_origin_before [7], vel_before [3], dt, weight) or None.
+    lm_weight [L]: per-landmark loss scale — the reference applies
+    ``ScaledLoss(CauchyLoss, landmark.weight)`` in adjustPoseOnly's residuals
+    (bundle_adjuster_keyframes.cpp:589-591,832), so shrubbery-downweighted
+    landmarks pull less on the motion-only pose too.
     """
     rcfg = cfg.robust
     dtype = pose_prior.dtype
+    w_lm = (jnp.ones((lm_pos.shape[0], 1), dtype) if lm_weight is None
+            else lm_weight[:, None].astype(dtype))
 
     def cost_and_system(pose, lm_use):
         def r_fn(tangent):
@@ -82,14 +92,16 @@ def pose_only_step(pose_prior, lm_pos, obs, obs_mask, lm_mask, rig, cfg,
         r3 = r[: obs.size].reshape(obs.shape[0], obs.shape[1], 3)
         s_repr = jnp.sum(r3[..., :2] ** 2, -1)
         s_depth = r3[..., 2] ** 2
-        w_repr = jnp.where(repr_ok, cauchy_weight(s_repr, rcfg.reprojection_thres), 0.0)
-        w_depth = jnp.where(depth_ok, cauchy_weight(s_depth, rcfg.depth_thres), 0.0)
+        w_repr = jnp.where(repr_ok,
+                           w_lm * cauchy_weight(s_repr, rcfg.reprojection_thres), 0.0)
+        w_depth = jnp.where(depth_ok,
+                            w_lm * cauchy_weight(s_depth, rcfg.depth_thres), 0.0)
         w = jnp.stack([w_repr, w_repr, w_depth], -1).reshape(-1)
         if speed_reg is not None:
             w = jnp.concatenate([w, jnp.full((3,), speed_reg[3], dtype)])
         a2r, a2d = rcfg.reprojection_thres ** 2, rcfg.depth_thres ** 2
-        cost = 0.5 * (jnp.sum(jnp.where(repr_ok, a2r * jnp.log1p(s_repr / a2r), 0.0))
-                      + jnp.sum(jnp.where(depth_ok, a2d * jnp.log1p(s_depth / a2d), 0.0)))
+        cost = 0.5 * (jnp.sum(jnp.where(repr_ok, w_lm * a2r * jnp.log1p(s_repr / a2r), 0.0))
+                      + jnp.sum(jnp.where(depth_ok, w_lm * a2d * jnp.log1p(s_depth / a2d), 0.0)))
         if speed_reg is not None:
             cost = cost + 0.5 * speed_reg[3] * jnp.sum(r[-3:] ** 2)
         H = jnp.einsum("r,ri,rj->ij", w, J, J)

@@ -66,7 +66,13 @@ def selection_for_solve(window: Window, newest, k0, k1, lm_outlier, rig, cfg
     newest/k0/k1: slots of the newest and two oldest active keyframes
     (traced scalars). Returns (Selection, voxel categories [L])."""
     keep = cheirality_mask(window, rig) & (~lm_outlier) & window.lm_valid
-    vox = voxel_scheme(window, newest, keep, cfg)
+    # second-newest active keyframe by stamp (slots are NOT time-ordered once
+    # the allocator reuses evicted slots) — the flow anchor for the near bin
+    small = jnp.asarray(-jnp.inf, window.stamps.dtype)
+    s = jnp.where(window.kf_valid, window.stamps, small)
+    s = s.at[newest].set(small)
+    last_kf = jnp.argmax(s).astype(jnp.int32)
+    vox = voxel_scheme(window, newest, keep, cfg, last_kf=last_kf)
     selected = vox.selected
     selected = add_depth_scheme(
         window, selected, keep & window.lm_is_gp,
@@ -550,21 +556,23 @@ class BundleAdjuster:
             cfg, rig = self.cfg, self.rig
 
             @jax.jit
-            def _po(pose, lm_pos, obs, mask, lm_mask, speed_reg):
+            def _po(pose, lm_pos, obs, mask, lm_mask, lm_weight, speed_reg):
                 return pose_only_step(pose, lm_pos, obs, mask, lm_mask, rig,
-                                      cfg, speed_reg=speed_reg)
+                                      cfg, speed_reg=speed_reg,
+                                      lm_weight=lm_weight)
 
             @jax.jit
-            def _po_nospeed(pose, lm_pos, obs, mask, lm_mask):
+            def _po_nospeed(pose, lm_pos, obs, mask, lm_mask, lm_weight):
                 return pose_only_step(pose, lm_pos, obs, mask, lm_mask, rig,
-                                      cfg, speed_reg=None)
+                                      cfg, speed_reg=None, lm_weight=lm_weight)
 
             self._pose_only_fn = (_po, _po_nospeed)
 
         args = (jnp.asarray(pose_prior, self.dtype),
                 jnp.asarray(self._lm_pos, self.dtype),
                 jnp.asarray(obs, self.dtype), jnp.asarray(mask),
-                jnp.asarray(lm_mask))
+                jnp.asarray(lm_mask),
+                jnp.asarray(self._lm_weight, self.dtype))
         if speed_reg is not None:
             res = self._pose_only_fn[0](*args, speed_reg)
         else:

@@ -325,3 +325,53 @@ class TestMotionParameterization:
                                    np.asarray(w.poses[:5, 6]), atol=1e-12)
         qxqy = np.abs(np.asarray(w2.poses[:5, 1:3]))
         assert qxqy.max() < 1e-9, qxqy
+
+
+class TestPoseOnlyLandmarkWeight:
+    """adjustPoseOnly applies ScaledLoss(CauchyLoss, landmark.weight)
+    (bundle_adjuster_keyframes.cpp:589-591,832): a down-weighted outlier
+    landmark must drag the motion-only pose less than a full-weight one."""
+
+    def _setup(self, rng):
+        from limo_tpu.solver import pose_only_step
+
+        gt = make_gt_poses()
+        lms = make_landmarks(rng, n=24)           # < 30 groups: no trimming
+        pose_gt = gt[2]
+        f, pp, tcv = RIG.focal[0], RIG.principal[0], RIG.T_cam_veh[0]
+        pcam = pose_ops.apply(tcv, pose_ops.apply(pose_gt, lms))
+        uv = F * pcam[:, :2] / pcam[:, 2:3] + jnp.array([CX, CY], DT)
+        obs = np.zeros((lms.shape[0], 1, 3))
+        obs[:, 0, :2] = np.asarray(uv)
+        obs[:, 0, 2] = -1.0
+        # one gross outlier track (e.g. a feature on a moving object)
+        obs[0, 0, :2] += 80.0
+        mask = np.ones((lms.shape[0], 1), bool)
+        prior = np.asarray(pose_gt)
+        prior = prior.copy()
+        prior[4:] += np.array([0.3, -0.2, 0.1])
+        cfg = default_config()
+        return pose_only_step, jnp.asarray(prior, DT), lms, \
+            jnp.asarray(obs, DT), jnp.asarray(mask), \
+            jnp.ones((lms.shape[0],), bool), cfg, pose_gt
+
+    def test_downweighted_outlier_drags_less(self, rng):
+        step, prior, lms, obs, mask, lm_mask, cfg, pose_gt = self._setup(rng)
+        w_full = jnp.ones((lms.shape[0],), DT)
+        w_down = w_full.at[0].set(0.1)
+        res_full = step(prior, lms, obs, mask, lm_mask, RIG, cfg,
+                        max_iters=8, lm_weight=w_full)
+        res_down = step(prior, lms, obs, mask, lm_mask, RIG, cfg,
+                        max_iters=8, lm_weight=w_down)
+        err_full = float(jnp.linalg.norm(res_full.pose[4:] - pose_gt[4:]))
+        err_down = float(jnp.linalg.norm(res_down.pose[4:] - pose_gt[4:]))
+        assert err_down < err_full, (err_down, err_full)
+        assert err_down < 0.02, err_down
+
+    def test_default_weight_matches_ones(self, rng):
+        step, prior, lms, obs, mask, lm_mask, cfg, _ = self._setup(rng)
+        res_none = step(prior, lms, obs, mask, lm_mask, RIG, cfg, max_iters=4)
+        res_ones = step(prior, lms, obs, mask, lm_mask, RIG, cfg, max_iters=4,
+                        lm_weight=jnp.ones((lms.shape[0],), DT))
+        np.testing.assert_allclose(np.asarray(res_none.pose),
+                                   np.asarray(res_ones.pose), atol=1e-12)

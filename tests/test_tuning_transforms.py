@@ -289,3 +289,18 @@ class TestFlowImage:
         ba._obs[:, :, 0, 0] += 1e5  # push u far out of frame
         img = flow_image(ba, shape=(100, 200))
         assert not img.any()
+
+    def test_fused_grid_sweeps_shrubbery(self):
+        """The third reference sweep dimension (shrubbery_weight,
+        res/tune_parameters_kitti.py:3-17) flows through the scan step's
+        label channel as a traced scalar: different weights must produce
+        different trajectories on a world with noisy vegetation."""
+        from limo_tpu.pipeline.tuning import grid_search_fused
+        pts = grid_search_fused(depth_thres=(0.16,),
+                                reprojection_thres=(1.6,),
+                                shrubbery_weights=(1.0, 0.2),
+                                num_frames=30, landmark_rows=256)
+        assert len(pts) == 2
+        assert {p.shrubbery_weight for p in pts} == {1.0, 0.2}
+        assert all(np.isfinite(p.ate) for p in pts)
+        assert pts[0].ate != pts[1].ate
