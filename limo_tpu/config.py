@@ -54,6 +54,9 @@ class SolverConfig:
     reset_trust_region_each_round: bool = True  # trust_region_relaxation_factor=-10
     diverged_retry_factor: int = 3    # retry with 3x iterations on divergence
     use_pallas_assembly: bool = True   # fused Mosaic assembly kernel
+    # run the assembly kernel through the Pallas interpreter when off-TPU
+    # (CPU dryrun/test coverage of the kernel path; no effect on TPU)
+    pallas_interpret: bool = False
     # Motion parameterization (setParameterization variants,
     # bundle_adjuster_keyframes.cpp:172-183): "full_dof" (production),
     # "fix_rotation", or "circular_2d" (the "Bycicle" planar-arc model,

@@ -136,15 +136,14 @@ def make_shard_map_solver(mesh: Mesh, rig, cfg, batched: bool = False):
     ``batched=True`` a leading window batch axis is additionally split over
     DATA_AXIS and vmapped within each shard.
     """
-    import dataclasses
-
     from ..solver.trimmed import solve_trimmed as _solve
 
-    if getattr(cfg.solver, "use_pallas_assembly", False):
-        # per-shard L must stay TL-aligned; keep the portable einsum path for
-        # the sharded solver (the Pallas kernel is the single-chip fast path)
-        cfg = cfg.replace(solver=dataclasses.replace(
-            cfg.solver, use_pallas_assembly=False))
+    # Unlike the GSPMD solver, the Pallas assembly kernel RUNS here: inside
+    # shard_map the per-shard landmark count is static (L/model), so the
+    # kernel executes on each shard as-is whenever that count is 128-aligned
+    # (ba_core picks a 512/256/128 tile; falls back to einsum otherwise).
+    # Keep windows' landmark capacity a multiple of 128×model to stay on
+    # the fast path.
 
     w_spec = window_pspecs(batched)
     s_spec = selection_pspecs(batched)

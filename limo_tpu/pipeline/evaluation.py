@@ -44,7 +44,8 @@ class SequenceReport:
 def evaluate_kitti_sequence(seq_dir: str, out_poses: str,
                             gt_poses: Optional[str] = None,
                             max_frames: Optional[int] = None,
-                            cfg: Optional[LimoPipelineConfig] = None
+                            cfg: Optional[LimoPipelineConfig] = None,
+                            drift_kw: Optional[Dict] = None
                             ) -> SequenceReport:
     """Run the full pipeline on a KITTI odometry sequence directory and dump
     the trajectory in KITTI format (reference dump: mono_lidar.cpp:275-300)."""
@@ -75,7 +76,7 @@ def evaluate_kitti_sequence(seq_dir: str, out_poses: str,
              "num_segments": 0}
     if seq.poses_gt is not None:
         ate = ate_rmse(seq.poses_gt, est)
-        drift = kitti_drift(seq.poses_gt, est)
+        drift = kitti_drift(seq.poses_gt, est, **(drift_kw or {}))
     return SequenceReport(name=os.path.basename(seq_dir), n_frames=n,
                           fps=n / max(dt, 1e-9), ate=ate, drift=drift)
 

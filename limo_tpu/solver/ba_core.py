@@ -261,11 +261,18 @@ def assemble(window: Window, sel: Selection, rig, cfg,
                                    jax.core.Tracer)
                         or isinstance(robust_cfg.depth_thres,
                                       jax.core.Tracer))
+    # landmark tile: full 512 on the single-chip layout; smaller 128-aligned
+    # tiles keep the kernel alive for landmark-sharded shard_map shards
+    # (per-shard L = L/model). pallas_interpret runs the kernel through the
+    # Pallas interpreter off-TPU (CPU dryrun coverage of the kernel path).
+    tile = next((t for t in (_TL, 256, 128) if L % t == 0), None)
+    interpret = (getattr(cfg.solver, "pallas_interpret", False)
+                 and jax.default_backend() != "tpu")
     use_pallas = (getattr(cfg.solver, "use_pallas_assembly", False)
                   and static_thres
                   and not compensate_rotation and dtype == jnp.float32
-                  and L % _TL == 0      # kernel grid needs TL-aligned L
-                  and jax.default_backend() == "tpu")
+                  and tile is not None
+                  and (jax.default_backend() == "tpu" or interpret))
     if use_pallas:
         # fused Mosaic kernel: residuals + analytic jacobians in registers,
         # only the reduced blocks hit HBM (solver/pallas_assemble.py)
@@ -289,7 +296,8 @@ def assemble(window: Window, sel: Selection, rig, cfg,
         blocks_obs = assemble_obs_pallas(
             obs_t, repr_base, depth_base, lm_t, wlm, pose_mats, cam_mats,
             K=K, C=C, a2r=float(robust_cfg.reprojection_thres) ** 2,
-            a2d=float(robust_cfg.depth_thres) ** 2)
+            a2d=float(robust_cfg.depth_thres) ** 2,
+            interpret=interpret, tl=tile)
         U_k, b_pose_k = blocks_obs.U, blocks_obs.b_pose
         V, b_l = blocks_obs.V, blocks_obs.b_l
         W_lk6 = blocks_obs.W

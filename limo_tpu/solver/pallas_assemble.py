@@ -51,12 +51,12 @@ class ObsBlocks(NamedTuple):
     cost: jnp.ndarray     # scalar
 
 
-def _kernel(K, C, a2r, a2d,
+def _kernel(K, C, a2r, a2d, tl,
             pose_ref, cam_ref,
             obs_ref, repr_base_ref, depth_base_ref, lm_ref, wlm_ref,
             V_ref, bl_ref, W_ref, U_ref, bp_ref, cost_ref):
-    """One grid step processes TL landmarks (packed [TL//LANE, LANE])."""
-    shp = (TL // LANE, LANE)
+    """One grid step processes ``tl`` landmarks (packed [tl//LANE, LANE])."""
+    shp = (tl // LANE, LANE)
     f32 = jnp.float32
 
     def vec(ref, row):
@@ -190,19 +190,21 @@ def _kernel(K, C, a2r, a2d,
                           else jnp.zeros((LANE,), f32))
 
 
-@partial(jax.jit, static_argnames=("K", "C", "a2r", "a2d", "interpret"))
+@partial(jax.jit, static_argnames=("K", "C", "a2r", "a2d", "interpret", "tl"))
 def assemble_obs_pallas(obs_t, repr_base, depth_base, lm_t, wlm,
                         pose_mats, cam_mats, K: int, C: int,
                         a2r: float, a2d: float,
-                        interpret: bool = False) -> ObsBlocks:
+                        interpret: bool = False, tl: int = TL) -> ObsBlocks:
     """obs_t [K*C*3, L]; repr/depth_base [K*C, L] f32 0/1; lm_t [3,L];
     wlm [1,L]; pose_mats [K,12] (R row-major + t); cam_mats [C,15]
-    (R_cv + t_cv + f,cx,cy). L must be a multiple of TL."""
+    (R_cv + t_cv + f,cx,cy). L must be a multiple of ``tl`` (the landmark
+    tile per grid step — 512 for the full-speed single-chip layout; smaller
+    128-multiples let landmark-sharded shard_map shards keep the kernel)."""
     L = obs_t.shape[1]
-    assert L % TL == 0, (L, TL)
-    grid = (L // TL,)
+    assert L % tl == 0 and tl % LANE == 0, (L, tl)
+    grid = (L // tl,)
 
-    kern = partial(_kernel, K, C, a2r, a2d)
+    kern = partial(_kernel, K, C, a2r, a2d, tl)
     out_shapes = (
         jax.ShapeDtypeStruct((9, L), jnp.float32),        # V
         jax.ShapeDtypeStruct((3, L), jnp.float32),        # b_l
@@ -211,7 +213,7 @@ def assemble_obs_pallas(obs_t, repr_base, depth_base, lm_t, wlm,
         jax.ShapeDtypeStruct((grid[0], K * 6, LANE), jnp.float32),
         jax.ShapeDtypeStruct((grid[0], 8, LANE), jnp.float32),
     )
-    lane_spec = lambda rows: pl.BlockSpec((rows, TL), lambda i: (0, i),
+    lane_spec = lambda rows: pl.BlockSpec((rows, tl), lambda i: (0, i),
                                           memory_space=pltpu.VMEM)
     out_specs = (
         lane_spec(9), lane_spec(3), lane_spec(K * 18),

@@ -177,3 +177,68 @@ class TestPaddedMatches:
         assert uv_a.shape == (cap, 2) and m.shape == (cap,)
         assert int(m.sum()) == 8            # ALL matched rows kept
         assert np.all(uv_a[m] > 0)          # and they carry the real pixels
+
+
+class TestArchiveConsistency:
+    def test_archived_poses_frozen_and_dump_monotonic(self):
+        """Evicted keyframes' poses are archived AT EVICTION TIME and must
+        never change afterwards (later solves touch only active keyframes),
+        and the per-frame KITTI dump stays time-monotonic and complete — the
+        reference dumps each pose at frame time (mono_lidar.cpp:275-300),
+        same semantics (VERDICT r1 item 10)."""
+        import dataclasses as dc
+
+        from limo_tpu.config import CapacityConfig, WindowConfig
+
+        num_frames = 40
+        world = make_world(num_frames=num_frames, speed=8.0, yaw_rate=0.015,
+                           n_landmarks=400, n_ground=120, seed=6)
+        rig = CameraRig.single(world.focal, world.principal[0],
+                               world.principal[1],
+                               T_cam_veh=jnp.asarray(world.T_cam_veh, DT),
+                               dtype=DT)
+        cfg = LimoConfig(
+            capacity=CapacityConfig(max_keyframes=6, max_landmarks=1536),
+            window=dc.replace(WindowConfig(),
+                              max_size_optimization_window=6),
+            landmark_selection=dataclasses.replace(
+                LandmarkSelectionConfig(), height_over_ground=1.65))
+        odo = LidarOdometry(rig, cfg, dtype=DT)
+        tracker = SyntheticTracker(world, with_depth=True)
+        frozen = {}
+        for i in range(num_frames):
+            tracker.observe(i)
+            odo.process_frame(world.stamps[i], tracker.tracklets())
+            for st, pose in odo.adjuster._archive.items():
+                if st in frozen:
+                    np.testing.assert_array_equal(frozen[st], pose, err_msg=(
+                        f"archived pose for stamp {st} mutated after "
+                        f"eviction at frame {i}"))
+                else:
+                    frozen[st] = pose.copy()
+        assert len(frozen) >= 5, "window too large — no evictions exercised"
+
+        stamps_out = np.array([f.stamp for f in odo.trajectory])
+        assert np.all(np.diff(stamps_out) > 0), "dump not time-monotonic"
+        est = odo.poses_kitti()
+        assert est.shape == (num_frames, 4, 4)
+        assert np.all(np.isfinite(est))
+        # the dump's keyframe poses at eviction agree with the archive
+        # (same stamp → same pose the adjuster froze)
+        stamp_to_frame = {f.stamp: k for k, f in enumerate(odo.trajectory)}
+        checked = 0
+        for st, pose in frozen.items():
+            k = stamp_to_frame.get(st)
+            if k is None or k < 5:
+                # bootstrap frames precede the first scale-locking solve —
+                # their frame-time dump legitimately differs from the later
+                # optimized pose (the reference has the same property: it
+                # dumps at frame time, mono_lidar.cpp:275-300)
+                continue
+            # trajectory stores the pose at frame time; the archive stores
+            # the final optimized pose at eviction — post-bootstrap the two
+            # stay within the window-correction envelope
+            d = np.linalg.norm(odo.trajectory[k].pose[4:] - pose[4:])
+            assert d < 0.5, (st, d)
+            checked += 1
+        assert checked >= 5
