@@ -42,6 +42,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..geometry import pose as pose_ops
+from ..utils.precision import highest_matmul
 from ..geometry import quaternion as quat
 
 # ---------------------------------------------------------------------------
@@ -263,6 +264,7 @@ def _cheirality_depths(R, t, x0, x1):
     return z0, z1
 
 
+@highest_matmul
 def estimate_essential(uv0, uv1, match_mask, focal, principal,
                        num_hypotheses: int = 256,
                        thres_px: float = 1.0,

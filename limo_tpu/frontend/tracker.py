@@ -270,3 +270,34 @@ class FeatureTracker:
 
     def tracklets(self, window: int | None = None):
         return self.builder.to_tracklets(window)
+
+
+class MulticamFeatureTracker:
+    """Per-camera detection/matching/tracking for a rigid multi-camera rig —
+    the reference treats multi-cam as first-class in the core
+    (keyframe.cpp:43-59: tracks routed to their observing camera via
+    ``landmark_to_cameras``); this is the front-end half: one independent
+    tracker per camera (no cross-camera matching — the reference's multi-cam
+    tests use the same per-camera track model), merged into one namespaced
+    tracklet stream + a track→camera routing map."""
+
+    def __init__(self, num_cameras: int, cfg: TrackerConfig = TrackerConfig(),
+                 max_track_length: int = 100, id_stride: int = 1_000_000):
+        self.trackers = [FeatureTracker(cfg, max_track_length)
+                         for _ in range(num_cameras)]
+        self.id_stride = id_stride
+
+    def process(self, stamp: float, images, depth_fns=None) -> None:
+        """images: one grayscale [H,W] per camera; depth_fns: optional
+        per-camera (uv → depths) hooks (typically lidar on camera 0 only)."""
+        for c, tr in enumerate(self.trackers):
+            fn = depth_fns[c] if depth_fns else None
+            tr.process(stamp, images[c], depth_fn=fn)
+
+    def tracklets(self, window: int | None = None):
+        """(merged Tracklets, {global_id: camera}) — feed
+        ``process_frame(..., track_camera=...)``."""
+        from ..pipeline.tracklets import merge_tracklets
+        return merge_tracklets(
+            [tr.tracklets(window) for tr in self.trackers],
+            id_stride=self.id_stride)

@@ -155,13 +155,30 @@ class MonoOdometry:
     # ------------------------------------------------------------------
 
     def process_frame(self, stamp: float, tracklets: Tracklets,
-                      pose_prior: Optional[np.ndarray] = None) -> FrameResult:
-        """One frame through the full §3.1/§3.3 call stack."""
+                      pose_prior: Optional[np.ndarray] = None,
+                      track_camera: Optional[dict] = None) -> FrameResult:
+        """One frame through the full §3.1/§3.3 call stack.
+
+        track_camera: optional global-track-id → camera-index routing for
+        multi-camera rigs (every track observed by one camera; the
+        reference's landmark_to_cameras lookup, keyframe.cpp:43-59). The
+        5-point prior and the keyframe flow gates run on camera 0's tracks;
+        push / pose-only / BA consume all cameras."""
         cfg = self.cfg
+        # camera-0 view for the single-camera stages (prior, flow gates):
+        # cross-camera pixel flow is meaningless
+        if track_camera:
+            from .tracklets import filter_tracklets
+            keep = np.array([track_camera.get(int(t), 0) == 0
+                             for t in tracklets.ids], bool)
+            tl_cam0 = filter_tracklets(tracklets, keep)
+        else:
+            tl_cam0 = tracklets
         # first frame: fixed identity keyframe (mono_lidar.cpp:301-325)
         if self.adjuster.num_keyframes == 0:
             pose0 = np.array([1.0, 0, 0, 0, 0, 0, 0])
-            self.adjuster.push(stamp, tracklets, pose0, FIX_POSE)
+            self.adjuster.push(stamp, tracklets, pose0, FIX_POSE,
+                               track_camera=track_camera)
             self._last_solve_stamp = stamp
             self._last_frame_stamp = stamp
             r = FrameResult(stamp, pose0, True, False)
@@ -171,13 +188,14 @@ class MonoOdometry:
 
         # ---- pose prior + motion-only scale correction -----------------
         if pose_prior is None:
-            pose_prior = self._motion_prior(tracklets, stamp)
-        pose_adj = self.adjuster.adjust_pose_only(stamp, pose_prior, tracklets)
+            pose_prior = self._motion_prior(tl_cam0, stamp)
+        pose_adj = self.adjuster.adjust_pose_only(stamp, pose_prior, tracklets,
+                                                  track_camera=track_camera)
 
         # ---- keyframe selection ----------------------------------------
         kfs = self.adjuster.keyframe_poses()
         last_stamp, last_pose = kfs[-1]
-        m = self._padded_matches(tracklets, stamp, last_stamp)
+        m = self._padded_matches(tl_cam0, stamp, last_stamp)
         if m is not None:
             uv_new, uv_old, mmask = m
         else:
@@ -203,7 +221,8 @@ class MonoOdometry:
         solved = False
         if is_kf:
             fixation = FIX_SCALE if self.adjuster.num_keyframes == 1 else FIX_NONE
-            self.adjuster.push(stamp, tracklets, pose_adj, fixation)
+            self.adjuster.push(stamp, tracklets, pose_adj, fixation,
+                               track_camera=track_camera)
             # throttled solve (mono_lidar.cpp:243-262)
             if (self.adjuster.num_keyframes >= 3
                     and stamp - self._last_solve_stamp

@@ -549,8 +549,19 @@ def make_tuning_runner(rig, cfg):
     return jax.jit(jax.vmap(one, in_axes=(0, 0, None)))
 
 
+# Empirical device limit (see docs/WIDE_VMAP_FAULT.md): wide vmapped scan
+# programs fault the TPU when the compiled program's generated-code size
+# crosses ~75 MiB (width sweep on v5e: 48-wide/73.5 MiB runs, 64-wide/
+# 78.4 MiB faults; temp/arg/output HBM are far below capacity at both).
+CODE_SIZE_BUDGET_MIB = 68.0
+
+
+def _code_size_mib(compiled) -> float:
+    return compiled.memory_analysis().generated_code_size_in_bytes / 2 ** 20
+
+
 def run_tuning_grid(stamps, uvd_seq, valid_seq, rig, cfg, grid,
-                    dtype=jnp.float32, max_chunk: Optional[int] = None,
+                    dtype=jnp.float32, max_chunk=None,
                     labels=None, outlier_flags=None, planes=None,
                     planes_ok=None):
     """Every tuning grid point as one row of ONE vmapped device program.
@@ -566,11 +577,15 @@ def run_tuning_grid(stamps, uvd_seq, valid_seq, rig, cfg, grid,
     automatically falls back to the scatter-free einsum assembly (see
     ``ba_core``'s ``static_thres`` gate).
 
-    ``max_chunk`` (optional) bounds the vmap width: the grid is split into
-    *balanced* equal chunks (last one padded by repeating row 0) that all
-    reuse the one compiled runner — a ~100-wide vmapped scan was observed
-    to fault the device over the remote link, and unbalanced 32-padding
-    would waste up to a chunk of redundant replays.
+    ``max_chunk`` bounds the vmap width: the grid is split into *balanced*
+    equal chunks (last one padded by repeating row 0) that all reuse the one
+    compiled runner. Wide vmapped scans fault the device once the compiled
+    program's generated code crosses ~75 MiB (measured width sweep:
+    docs/WIDE_VMAP_FAULT.md); ``max_chunk="auto"`` derives the chunk width
+    from that mechanism — compile the candidate width, read the generated
+    code size from XLA's memory analysis, halve until it fits the
+    ``CODE_SIZE_BUDGET_MIB`` budget (compiles are cached, so the surviving
+    probe IS the runner used). An int keeps the manual override.
 
     Returns (final ScanState [G,...], FrameOut [G,F,...]) — numpy leaves
     when chunked, device arrays otherwise.
@@ -583,10 +598,32 @@ def run_tuning_grid(stamps, uvd_seq, valid_seq, rig, cfg, grid,
                         outlier_flags, planes, planes_ok,
                         stamp_dtype=st.window.stamps.dtype)
 
-    def run_rows(rows):
+    def batch_args(rows):
         st_b = jax.tree_util.tree_map(
             lambda x: jnp.stack([x] * rows.shape[0]), st)
-        return run(jnp.asarray(rows, dtype), st_b, data)
+        return jnp.asarray(rows, dtype), st_b, data
+
+    def run_rows(rows):
+        return run(*batch_args(rows))
+
+    if max_chunk == "auto":
+        if jax.default_backend() == "tpu":
+            # probe the BALANCED width that would actually run (so the
+            # surviving probe compile is reused as the runner), starting
+            # from 32 (measured 54 MiB — comfortably inside the budget)
+            cand = min(G, 32)
+            while cand > 1:
+                n_c = -(-G // cand)
+                chunk = -(-G // n_c)
+                probe = run.lower(*batch_args(grid[:chunk])).compile()
+                if _code_size_mib(probe) <= CODE_SIZE_BUDGET_MIB:
+                    max_chunk = chunk
+                    break
+                cand = max(1, chunk // 2)
+            else:
+                max_chunk = 1
+        else:
+            max_chunk = None  # CPU/interpret: no device code-size ceiling
 
     if max_chunk is None or G <= max_chunk:
         return run_rows(grid)

@@ -179,8 +179,15 @@ class SyntheticTracker:
                  depth_noise: float = 0.03, with_depth: bool = False,
                  depth_fraction: float = 0.6, max_track_length: int = 100,
                  max_range: float = 80.0, seed: int = 1,
-                 outlier_fraction: float = 0.0, label_ground: bool = True):
+                 outlier_fraction: float = 0.0, label_ground: bool = True,
+                 T_cam_veh: Optional[np.ndarray] = None, id_offset: int = 0):
+        """T_cam_veh overrides the world's camera extrinsics (one tracker
+        per camera of a multi-cam rig); id_offset namespaces the emitted
+        global track ids (= world landmark index + offset)."""
         self.w = world
+        self.T_cam_veh = (np.asarray(T_cam_veh, np.float64)
+                          if T_cam_veh is not None else world.T_cam_veh)
+        self.id_offset = id_offset
         self.pixel_noise = pixel_noise
         self.depth_noise = depth_noise
         self.with_depth = with_depth
@@ -196,7 +203,8 @@ class SyntheticTracker:
 
     def observe(self, frame_idx: int) -> None:
         w = self.w
-        T_cam_origin = pose_host.compose(w.T_cam_veh, w.poses_veh[frame_idx])
+        T_cam_origin = pose_host.compose(self.T_cam_veh,
+                                         w.poses_veh[frame_idx])
         p_cam = pose_host.apply(T_cam_origin, w.landmarks_at(frame_idx))
         z = p_cam[:, 2]
         uv = w.focal * p_cam[:, :2] / np.maximum(z[:, None], 1e-6) + w.principal
@@ -240,7 +248,7 @@ class SyntheticTracker:
             else:
                 label[self.w.is_ground[ids]] = 7  # cityscapes road
         return Tracklets(stamps=stamps, uvd=uvd, mask=mask,
-                         ids=ids.astype(np.int64), age=age,
+                         ids=ids.astype(np.int64) + self.id_offset, age=age,
                          is_outlier=np.zeros(N, bool), label=label)
 
 

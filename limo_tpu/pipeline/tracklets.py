@@ -77,6 +77,60 @@ class Tracklets:
         return self.ids[m], self.uvd[m, i], m
 
 
+def merge_tracklets(per_camera: List["Tracklets"],
+                    id_stride: int = 1_000_000):
+    """Merge per-camera tracklet streams into one stream + a track→camera
+    routing map — the reference's multi-camera ingestion, where each track
+    is observed by exactly one camera and keyframes route measurements via
+    ``landmark_to_cameras`` (keyframe.cpp:43-59).
+
+    Track ids are namespaced per camera (``id + cam * id_stride``) so two
+    cameras' trackers can both start at id 0. All streams must share the
+    same capture clock (equal newest-first stamp windows; shorter windows
+    are aligned on the newest stamps).
+
+    Returns (merged Tracklets, {global_id: camera_index})."""
+    assert per_camera, "need at least one camera stream"
+    S = max(t.num_stamps for t in per_camera)
+    ref = max(per_camera, key=lambda t: t.num_stamps)
+    stamps = ref.stamps[:S]
+    parts = []
+    cam_of: Dict[int, int] = {}
+    for c, t in enumerate(per_camera):
+        if t.num_stamps and not np.allclose(t.stamps,
+                                            stamps[: t.num_stamps]):
+            raise ValueError(f"camera {c} stamps disagree with camera 0")
+        uvd = np.zeros((t.num_tracks, S, 3))
+        uvd[..., 2] = NO_DEPTH
+        uvd[:, : t.num_stamps] = t.uvd
+        mask = np.zeros((t.num_tracks, S), bool)
+        mask[:, : t.num_stamps] = t.mask
+        gids = t.ids + c * id_stride
+        if np.any(t.ids >= id_stride):
+            raise ValueError(f"camera {c} track ids exceed id_stride")
+        cam_of.update({int(g): c for g in gids})
+        parts.append(Tracklets(stamps=stamps, uvd=uvd, mask=mask, ids=gids,
+                               age=t.age, is_outlier=t.is_outlier,
+                               label=t.label))
+    merged = Tracklets(
+        stamps=stamps,
+        uvd=np.concatenate([p.uvd for p in parts]),
+        mask=np.concatenate([p.mask for p in parts]),
+        ids=np.concatenate([p.ids for p in parts]),
+        age=np.concatenate([p.age for p in parts]),
+        is_outlier=np.concatenate([p.is_outlier for p in parts]),
+        label=np.concatenate([p.label for p in parts]),
+    )
+    return merged, cam_of
+
+
+def filter_tracklets(tl: "Tracklets", keep: np.ndarray) -> "Tracklets":
+    """Row subset of a tracklet stream (e.g. one camera's tracks)."""
+    return Tracklets(stamps=tl.stamps, uvd=tl.uvd[keep], mask=tl.mask[keep],
+                     ids=tl.ids[keep], age=tl.age[keep],
+                     is_outlier=tl.is_outlier[keep], label=tl.label[keep])
+
+
 class TrackletBuilder:
     """Maintains live tracks across frames — the adapter that turns per-frame
     matched feature pairs (or a full external track table) into ``Tracklets``.

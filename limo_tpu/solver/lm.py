@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..state import Selection, Window
+from ..utils.precision import highest_matmul
 from .ba_core import PD, assemble, compute_cost, plane_boxplus
 from ..geometry import pose as pose_ops
 
@@ -114,6 +115,7 @@ def apply_step(window: Window, delta_p, delta_l,
     )
 
 
+@highest_matmul
 def run_lm(window: Window, sel: Selection, rig, cfg, max_iters,
            compensate_rotation: bool = False, pose_only: bool = False,
            speed_reg=None, initial_lambda=None, axis_name=None):

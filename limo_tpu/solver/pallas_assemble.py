@@ -80,6 +80,10 @@ def _kernel(K, C, a2r, a2d, tl,
 
         Uacc = [[jnp.zeros(shp, f32) for _ in range(6)] for _ in range(6)]
         bpacc = [jnp.zeros(shp, f32) for _ in range(6)]
+        # W cross blocks accumulate in registers across cameras — a
+        # read-modify-write on W_ref would need a (shp)→1D reshape of the
+        # loaded row, which Mosaic's layout inference rejects for C ≥ 2
+        Wacc = [[jnp.zeros(shp, f32) for _ in range(3)] for _ in range(6)]
 
         for c in range(C):
             A = [[cam_ref[c, 3 * i + j] for j in range(3)] for i in range(3)]
@@ -161,15 +165,15 @@ def _kernel(K, C, a2r, a2d, tl,
                 bpacc[pcol] = bpacc[pcol] - (
                     w_r * (Jp_u[pcol] * r_u + Jp_v[pcol] * r_v)
                     + w_d * Jp_d[pcol] * r_d)
-                # W cross blocks (written per landmark)
+                # W cross blocks (register accumulation over cameras)
                 for a in range(3):
                     wv = (w_r * (Jp_u[pcol] * Jl_u[a] + Jp_v[pcol] * Jl_v[a])
                           + w_d * Jp_d[pcol] * Jl_d[a])
-                    idx = k * 18 + pcol * 3 + a
-                    if c == 0:
-                        W_ref[idx] = wv.reshape(-1)
-                    else:
-                        W_ref[idx] = W_ref[idx] + wv.reshape(-1)
+                    Wacc[pcol][a] = Wacc[pcol][a] + wv
+
+        for pcol in range(6):
+            for a in range(3):
+                W_ref[k * 18 + pcol * 3 + a] = Wacc[pcol][a].reshape(-1)
 
         # U/b_pose: lanes carry LANE partial sums the host reduces
         # (Mosaic has no scalar packing)

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from .. import residuals as res_k
 from ..geometry import pose as pose_ops
 from ..robust import cauchy_weight, trim_quantile
+from ..utils.precision import highest_matmul
 
 
 class PoseOnlyResult(NamedTuple):
@@ -54,6 +55,7 @@ def _residuals_all(pose, lm_pos, obs, obs_mask, lm_mask, rig, cfg,
     return r, repr_ok, depth_ok
 
 
+@highest_matmul
 def pose_only_step(pose_prior, lm_pos, obs, obs_mask, lm_mask, rig, cfg,
                    speed_reg=None, max_iters: int = 4,
                    compensate_rotation: bool = False,

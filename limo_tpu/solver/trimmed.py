@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..robust import trim_quantile
+from ..utils.precision import highest_matmul
 from ..state import Selection, Window
 from .ba_core import assemble, compute_cost, residual_stats
 from .lm import apply_step, solve_normal_equations
@@ -56,6 +57,7 @@ class _TrimState(NamedTuple):
     done: jnp.ndarray
 
 
+@highest_matmul
 def solve_trimmed(window: Window, sel: Selection, rig, cfg,
                   compensate_rotation: bool = False, axis_name=None):
     """Full trimmed solve. Returns (window, selection, SolveInfo).

@@ -506,12 +506,15 @@ class BundleAdjuster:
     # ------------------------------------------------------------------
 
     def adjust_pose_only(self, stamp: float, pose_prior: np.ndarray,
-                         tracklets: Tracklets) -> np.ndarray:
+                         tracklets: Tracklets,
+                         track_camera: Optional[Dict[int, int]] = None
+                         ) -> np.ndarray:
         """Motion-only adjustment of a candidate (not yet pushed) frame
         against the last selection's landmarks: Cauchy reprojection + depth
         residuals, constant-velocity regularizer when recent rotation is
         small (weight 1−rot/0.03), quantile trimming, landmarks fixed,
-        ≤4 LM iterations (reference :820-888)."""
+        ≤4 LM iterations (reference :820-888). ``track_camera`` routes each
+        measurement to its observing camera (multi-cam rigs)."""
         if len(self._kf_order) < 2:
             return np.asarray(pose_prior)
         if self._last_selection is None:
@@ -530,8 +533,11 @@ class BundleAdjuster:
         for tid, m in zip(ids, uvd):
             slot = self._lm_slot.get(int(tid))
             if slot is not None:
-                obs[slot, 0] = m
-                mask[slot, 0] = True
+                cam = track_camera.get(int(tid), 0) if track_camera else 0
+                if cam >= self.C:
+                    continue
+                obs[slot, cam] = m
+                mask[slot, cam] = True
         lm_mask = selection & self._lm_valid & np.any(mask, -1)
 
         # constant-velocity regularizer from the two newest keyframes

@@ -88,3 +88,129 @@ class TestMultiCam:
         for k, s in enumerate(ba._kf_order):
             err = np.linalg.norm(ba._poses[s][4:] - poses[k][4:])
             assert err < 0.08, (k, err)  # ~2% of trajectory (mono scale, trimming active)
+
+
+class TestMulticamFullStack:
+    """Multi-camera through the FRONT END (VERDICT r1 item 7): per-camera
+    trackers merged with track→camera routing into the full odometry driver
+    (the reference's first-class multi-cam, keyframe.cpp:43-59).
+
+    Scale physics, measured while building these gates: a rigid rig's scale
+    observability is the LEVER-ARM effect — the constant camera offset t_cv
+    is absorbable by per-landmark shifts unless the body rotates during a
+    track's lifetime, so the signal strength is (scale error) × baseline ×
+    in-window rotation ≈ centimeters → ~1 px. Above the pixel-noise floor it
+    drives a clean correction (window test below); buried in 0.3 px tracker
+    noise it corrects only asymptotically (the reference's Ceres solve faces
+    the same cost surface). The full-stack gate therefore asserts routing +
+    accuracy parity; the scale gate runs at window level where the
+    observability statement is crisp."""
+
+    def test_stereo_front_end_full_stack(self):
+        from limo_tpu.geometry import pose_host as ph
+        from limo_tpu.pipeline.metrics import ate_rmse
+        from limo_tpu.pipeline.odometry import MonoOdometry
+        from limo_tpu.pipeline.synthetic import SyntheticTracker, make_world
+        from limo_tpu.pipeline.tracklets import merge_tracklets
+
+        num_frames = 40
+        world = make_world(num_frames=num_frames, speed=8.0, yaw_rate=0.03,
+                           n_landmarks=260, n_ground=60, seed=31)
+        T0 = world.T_cam_veh
+        T1 = ph.compose(T0, np.array([1.0, 0, 0, 0, 0.0, 0.8, 0.0]))
+        rig2 = CameraRig(
+            focal=jnp.array([world.focal, world.focal], DT),
+            principal=jnp.array([world.principal, world.principal], DT),
+            T_cam_veh=jnp.asarray(np.stack([T0, T1]), DT))
+        cfg = LimoConfig(capacity=CapacityConfig(
+            max_keyframes=12, max_landmarks=1536, max_cameras=2))
+        odo = MonoOdometry(rig2, cfg, dtype=DT)
+        trackers = [
+            SyntheticTracker(world, with_depth=(c == 0), label_ground=False,
+                             seed=11 + c, T_cam_veh=(T1 if c else T0))
+            for c in range(2)]   # lidar depth on camera 0 only (the rig norm)
+        for i in range(num_frames):
+            for t in trackers:
+                t.observe(i)
+            merged, cam_of = merge_tracklets(
+                [t.tracklets() for t in trackers])
+            odo.process_frame(world.stamps[i], merged, track_camera=cam_of)
+        # both cameras contribute observations to the window
+        a = odo.adjuster
+        assert a._obs_mask[:, :, 0].sum() > 100
+        assert a._obs_mask[:, :, 1].sum() > 100
+        # trajectory quality through the merged 2-cam stack
+        ate = ate_rmse(world.kitti_gt(), odo.poses_kitti())
+        assert ate < 0.3, ate
+
+    def test_two_cam_window_recovers_scale_mono_cannot(self):
+        """The scale-ambiguity gate: corrupt a self-consistent window by
+        scaling all poses+landmarks 1.25× around the fixed keyframe. The
+        2-cam window (lever arm over an in-window rotation) must descend
+        back toward metric scale; the mono window CANNOT — scale there is
+        pure gauge and the regularizer pins it exactly."""
+        import dataclasses as dc
+
+        from limo_tpu.config import SolverConfig
+        from limo_tpu.geometry import pose_host as ph
+
+        rng = np.random.default_rng(3)
+        rig2 = two_cam_rig()
+        rig1 = CameraRig(focal=jnp.array([F], DT),
+                         principal=jnp.array([[CX, CY]], DT),
+                         T_cam_veh=jnp.asarray(
+                             np.asarray(rig2.T_cam_veh)[:1], DT))
+        lms = rng.uniform(-1, 1, (160, 3)) * np.array([10.0, 6.0, 4.0]) \
+            + np.array([0, 0, 25.0])
+        poses, stamps = [], []
+        p = np.array([1.0, 0, 0, 0, 0, 0, 0])
+        for k in range(6):      # turning trajectory — the lever arm bites
+            poses.append(p.copy())
+            stamps.append(0.4 * k)
+            d = np.zeros(7)
+            yaw = 0.06
+            d[0], d[3] = np.cos(yaw / 2), np.sin(yaw / 2)
+            d[4:] = [-0.4, 0, -1.6]
+            p = ph.compose(p, d)
+
+        def scale_after_solves(two_cams: bool):
+            rig = rig2 if two_cams else rig1
+            cams = 2 if two_cams else 1
+            cfg = LimoConfig(
+                capacity=dataclasses.replace(CapacityConfig(),
+                                             max_cameras=cams),
+                solver=dc.replace(SolverConfig(), refinement_iterations=60))
+            cam_of = {m: (m % 2 if two_cams else 0) for m in range(160)}
+            ba = BundleAdjuster(rig, cfg, DT)
+            for k in range(6):
+                tl = project_tracklets_multicam(rig, poses[: k + 1], lms,
+                                                stamps[: k + 1], cam_of)
+                ba.push(stamps[k], tl, np.asarray(poses[k]).copy(),
+                        FIX_POSE if k == 0 else FIX_NONE,
+                        track_camera=cam_of)
+            # corrupt: scale everything 1.25x around the fixed keyframe
+            s = 1.25
+            c0 = ph.translation(ph.inverse(ba._poses[ba._kf_order[0]]))
+            for slot in ba._kf_order[1:]:
+                c = ph.translation(ph.inverse(ba._poses[slot]))
+                q = ba._poses[slot][:4]
+                ba._poses[slot][4:] = -(ph.qto_matrix(q) @ (c0 + s * (c - c0)))
+            ba._lm_pos[ba._lm_valid] = c0 + s * (ba._lm_pos[ba._lm_valid] - c0)
+            ba.deactivate_keyframes()
+            for _ in range(3):
+                ba.solve()
+            d_est = np.linalg.norm(np.diff(
+                [ph.translation(ph.inverse(ba._poses[sl]))
+                 for sl in ba._kf_order], axis=0), axis=1)
+            d_gt = np.linalg.norm(np.diff(
+                [ph.translation(ph.inverse(q)) for q in poses], axis=0),
+                axis=1)
+            return float(d_est.sum() / d_gt.sum())
+
+        s2 = scale_after_solves(True)
+        s1 = scale_after_solves(False)
+        # mono: pure gauge — stays at the corrupted scale
+        assert s1 > 1.22, s1
+        # 2-cam: descends toward metric (measured ~1.6%/solve on this
+        # geometry; 3 solves recover ≥3.5%)
+        assert s2 < s1 - 0.035, (s2, s1)

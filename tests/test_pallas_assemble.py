@@ -86,3 +86,66 @@ class TestPallasAssemble:
         np.testing.assert_allclose(out.U, U_r, rtol=2e-3, atol=0.1)
         np.testing.assert_allclose(out.b_pose, bp_r, rtol=2e-3, atol=0.1)
         np.testing.assert_allclose(float(out.cost), float(cost_r), rtol=1e-4)
+
+    def test_matches_einsum_two_cameras(self, rng):
+        """C=2 rig through the kernel (multicam windows feed the same fused
+        assembly; the W cross blocks accumulate over cameras in registers —
+        a read-modify-write on the output ref fails Mosaic layout
+        inference, found on the real chip with the 2-cam driver)."""
+        from limo_tpu.config import CapacityConfig, LimoConfig
+        from limo_tpu.geometry import pose as pose_ops
+        from limo_tpu.state import empty_window
+
+        cfg = LimoConfig(capacity=CapacityConfig(
+            max_keyframes=6, max_landmarks=512, max_cameras=2))
+        w = empty_window(cfg.capacity, F32)
+        K, L, C = w.K, w.L, w.C
+        t0 = pose_ops.identity(F32)
+        t1 = jnp.asarray([1.0, 0, 0, 0, -0.5, 0.0, 0.0], F32)
+        rig = CameraRig(focal=jnp.asarray([600.0, 600.0], F32),
+                        principal=jnp.asarray([[300.0, 200.0]] * 2, F32),
+                        T_cam_veh=jnp.stack([t0, t1]))
+        L_used, K_used = 300, 5
+        lms = rng.uniform(-1, 1, (L_used, 3)) * np.array([12.0, 7.0, 5.0]) \
+            + np.array([0, 0, 28.0])
+        poses = np.tile(np.array([1.0, 0, 0, 0, 0, 0, 0]), (K, 1))
+        for k in range(1, K_used):
+            poses[k, 4:] = poses[k - 1, 4:] + np.array([-0.5, 0.0, -1.4])
+        obs = np.zeros((L, K, C, 3))
+        obs[..., 2] = -1.0
+        msk = np.zeros((L, K, C), bool)
+        for k in range(K_used):
+            for c in range(2):
+                # all rotations are identity here: p_cam = lm + t_k + t_cv
+                tcv = np.asarray(rig.T_cam_veh[c], np.float64)
+                pc = lms + poses[k, 4:] + tcv[4:]
+                uv = 600.0 * pc[:, :2] / pc[:, 2:] + np.array([300.0, 200.0])
+                obs[:L_used, k, c, :2] = uv + rng.normal(0, 0.5, uv.shape)
+                if c == 0:
+                    obs[:L_used, k, c, 2] = pc[:, 2] + rng.normal(
+                        0, 0.05, L_used)
+                msk[:L_used, k, c] = True
+        w = w._replace(
+            poses=jnp.asarray(poses, F32),
+            kf_valid=w.kf_valid.at[:K_used].set(True),
+            fix_pose=w.fix_pose.at[0].set(True),
+            lm_pos=jnp.asarray(
+                np.pad(lms + rng.normal(0, 0.2, lms.shape),
+                       ((0, L - L_used), (0, 0))), F32),
+            lm_valid=w.lm_valid.at[:L_used].set(True),
+            lm_has_depth=w.lm_has_depth.at[:L_used].set(True),
+            obs=jnp.asarray(obs, F32), obs_mask=jnp.asarray(msk))
+        sel = default_selection(w)
+
+        U_r, bp_r, V_r, bl_r, W_r, cost_r = reference_blocks(w, sel, rig, cfg)
+        ins = pallas_inputs(w, sel, rig, cfg)
+        out = assemble_obs_pallas(*ins, K=K, C=C,
+                                  a2r=cfg.robust.reprojection_thres ** 2,
+                                  a2d=cfg.robust.depth_thres ** 2,
+                                  interpret=True)
+        np.testing.assert_allclose(out.V, V_r, rtol=2e-4, atol=2e-3)
+        np.testing.assert_allclose(out.b_l, bl_r, rtol=2e-4, atol=2e-3)
+        np.testing.assert_allclose(out.W, W_r, rtol=2e-4, atol=2e-3)
+        np.testing.assert_allclose(out.U, U_r, rtol=2e-3, atol=0.1)
+        np.testing.assert_allclose(out.b_pose, bp_r, rtol=2e-3, atol=0.1)
+        np.testing.assert_allclose(float(out.cost), float(cost_r), rtol=1e-4)
