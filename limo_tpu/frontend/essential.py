@@ -69,7 +69,15 @@ for _m, (_px, _py, _pz) in enumerate(_MONOS20):
     _EMBED[_m, _pz, _XY_MONOS.index((_px, _py))] = 1.0
 
 # det-polynomial recovery: degree-10 in z, fit in Chebyshev basis over
-# [-_ZMAX, _ZMAX] from _NS node evaluations; roots located on a fixed grid
+# [-_ZMAX, _ZMAX] from _NS node evaluations; roots located on a fixed grid.
+#
+# KNOWN SOLUTION-LOSS MODES (per minimal sample — RANSAC amortizes these,
+# so tune num_hypotheses with the per-sample miss rate in mind):
+#  - real roots with |z| > _ZMAX are never seen (the grid stops there);
+#  - even-multiplicity roots touch zero without a sign change on the grid
+#    and are skipped by the bisection seeding;
+#  - solutions whose E has vanishing B3 coefficient are unrepresentable in
+#    the E = xB0 + yB1 + zB2 + B3 pinning and are dropped.
 _ZMAX = 6.0
 _NS = 24
 _NG = 257
@@ -351,7 +359,12 @@ def estimate_essential(uv0, uv1, match_mask, focal, principal,
     q = quat.qfrom_matrix(R)
 
     n_in = jnp.sum(inliers.astype(jnp.int32))
-    ok = moving & (n_in >= 8)
+    # counts[best] > 0 gates on candidate validity: if every RANSAC
+    # candidate failed (cand_ok all False — degenerate/too-few matches),
+    # argmax picks index 0 whose E is garbage; the refined inlier count can
+    # then be nonzero by accident, so require the *voted* winner to have
+    # had at least one cand_ok-masked inlier.
+    ok = moving & (n_in >= 8) & (counts[best] > 0)
     # standstill → identity motion (reference fallback :111-124)
     q = jnp.where(ok, q, quat.qidentity(dtype))
     t = jnp.where(ok, t, jnp.zeros(3, dtype))

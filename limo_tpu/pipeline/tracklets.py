@@ -96,10 +96,16 @@ def merge_tracklets(per_camera: List["Tracklets"],
     stamps = ref.stamps[:S]
     parts = []
     cam_of: Dict[int, int] = {}
+    ref_cam = per_camera.index(ref)
     for c, t in enumerate(per_camera):
+        # absolute tolerance: epoch-scale stamps (~1e9 s) make the default
+        # rtol=1e-5 vacuous (~1e4 s); 1 µs catches real misalignment
         if t.num_stamps and not np.allclose(t.stamps,
-                                            stamps[: t.num_stamps]):
-            raise ValueError(f"camera {c} stamps disagree with camera 0")
+                                            stamps[: t.num_stamps],
+                                            rtol=0.0, atol=1e-6):
+            raise ValueError(
+                f"camera {c} stamps disagree with reference camera "
+                f"{ref_cam} (longest stream)")
         uvd = np.zeros((t.num_tracks, S, 3))
         uvd[..., 2] = NO_DEPTH
         uvd[:, : t.num_stamps] = t.uvd
