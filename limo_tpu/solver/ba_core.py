@@ -50,14 +50,70 @@ def plane_boxplus(plane, delta):
 
 
 class NormalEqs(NamedTuple):
+    """Cross blocks are stored in BLOCK form, not as a dense [L,P,3]:
+    every landmark couples to at most K pose blocks (6 dims each) plus the
+    plane block (4 dims) of its ONE attached groundplane keyframe. The
+    Schur correction then contracts [L,K,6,3] tensors — 2.8× fewer MXU
+    passes than the padded [L,P,3] form, which matters because the Schur
+    product must run at full f32 precision (see solver/lm.py)."""
+
     H_pp: jnp.ndarray   # [P,P] pose+plane block (undamped, gauge-masked)
     b_p: jnp.ndarray    # [P]   -J_pᵀ r
     V: jnp.ndarray      # [L,3,3] landmark blocks
     b_l: jnp.ndarray    # [L,3]
-    W: jnp.ndarray      # [L,P,3] cross blocks
+    W6: jnp.ndarray     # [L,K,6,3] pose↔landmark cross blocks
+    Wp: jnp.ndarray     # [L,4,3] plane↔landmark cross block (gp keyframe)
+    gp_oh: jnp.ndarray  # [L,K] one-hot of the attached gp keyframe
     cost: jnp.ndarray   # robust cost (0.5 Σ w·ρ(s)), Ceres convention
     param_mask: jnp.ndarray  # [P] 1 for free dims, 0 for fixed/gauge dims
     lm_mask: jnp.ndarray     # [L] bool landmarks participating
+
+
+def assembly_plan(L: int, dtype, cfg, compensate_rotation: bool = False
+                  ) -> str:
+    """Which assembly path a solve with these parameters takes — the single
+    source of truth for the gating, also surfaced by bench.py so perf
+    regressions are attributable to the path actually run.
+
+    Returns "pallas[tile=N]" (optionally "+interpret" off-TPU) or
+    "einsum(<reason>)".
+
+    Gating: the fused Mosaic kernel needs concrete (non-traced) loss
+    scales (they bake in as compile-time constants — the fused tuning grid
+    vmaps over traced thresholds), plain reprojection, f32, a 128-aligned
+    landmark tile (512 full-speed single-chip; 256/128 keep the kernel for
+    landmark-sharded shard_map shards where per-shard L = L/model), and a
+    TPU backend (or ``pallas_interpret`` for CPU dryrun coverage)."""
+    import jax.numpy as jnp  # local: keep module import order unchanged
+
+    robust_cfg = cfg.robust
+    if not getattr(cfg.solver, "use_pallas_assembly", False):
+        return "einsum(disabled)"
+    static_thres = not (isinstance(robust_cfg.reprojection_thres,
+                                   jax.core.Tracer)
+                        or isinstance(robust_cfg.depth_thres,
+                                      jax.core.Tracer))
+    if not static_thres:
+        return "einsum(traced-thresholds)"
+    if compensate_rotation:
+        return "einsum(rotation-compensated)"
+    if dtype != jnp.float32:
+        return "einsum(dtype)"
+    from .pallas_assemble import TL as _TL
+    tile = next((t for t in (_TL, 256, 128) if L % t == 0), None)
+    if tile is None:
+        return "einsum(tile-misaligned)"
+    if jax.default_backend() == "tpu":
+        return f"pallas[tile={tile}]"
+    if getattr(cfg.solver, "pallas_interpret", False):
+        return f"pallas[tile={tile}]+interpret"
+    return "einsum(backend)"
+
+
+def plan_tile(plan: str) -> "int | None":
+    if not plan.startswith("pallas"):
+        return None
+    return int(plan.split("tile=")[1].split("]")[0])
 
 
 class ResidualStats(NamedTuple):
@@ -253,26 +309,9 @@ def assemble(window: Window, sel: Selection, rig, cfg,
     reg_cfg = cfg.regularization
 
     lm_active = window.lm_valid & sel.lm_selected
-    from .pallas_assemble import TL as _TL
-    # the kernel bakes the loss scales in as compile-time constants — a
-    # traced threshold (the fused tuning grid vmaps over them) must take
-    # the einsum path; any concrete number (python float, np scalar) is fine
-    static_thres = not (isinstance(robust_cfg.reprojection_thres,
-                                   jax.core.Tracer)
-                        or isinstance(robust_cfg.depth_thres,
-                                      jax.core.Tracer))
-    # landmark tile: full 512 on the single-chip layout; smaller 128-aligned
-    # tiles keep the kernel alive for landmark-sharded shard_map shards
-    # (per-shard L = L/model). pallas_interpret runs the kernel through the
-    # Pallas interpreter off-TPU (CPU dryrun coverage of the kernel path).
-    tile = next((t for t in (_TL, 256, 128) if L % t == 0), None)
-    interpret = (getattr(cfg.solver, "pallas_interpret", False)
-                 and jax.default_backend() != "tpu")
-    use_pallas = (getattr(cfg.solver, "use_pallas_assembly", False)
-                  and static_thres
-                  and not compensate_rotation and dtype == jnp.float32
-                  and tile is not None
-                  and (jax.default_backend() == "tpu" or interpret))
+    plan = assembly_plan(L, dtype, cfg, compensate_rotation)
+    use_pallas, tile, interpret = (plan.startswith("pallas"),
+                                   plan_tile(plan), "interpret" in plan)
     if use_pallas:
         # fused Mosaic kernel: residuals + analytic jacobians in registers,
         # only the reduced blocks hit HBM (solver/pallas_assemble.py)
@@ -336,12 +375,20 @@ def assemble(window: Window, sel: Selection, rig, cfg,
     b_gp_k = -jnp.einsum("lk,l,li->ki", gp_oh, w_gp * r_gp, Jgp_kp)
     V = V + w_gp[:, None, None] * Jgp_lm[:, :, None] * Jgp_lm[:, None, :]
     b_l = b_l - (w_gp * r_gp)[:, None] * Jgp_lm
-    W_gp = jnp.einsum("lk,l,li,lj->lkij", gp_oh, w_gp, Jgp_kp, Jgp_lm)
+    # gp cross blocks in BLOCK form: pose part routes to the attached
+    # keyframe's 6 pose dims; plane part is one [4,3] block per landmark
+    W6 = W_lk6 + jnp.einsum("lk,l,li,lj->lkij", gp_oh, w_gp,
+                            Jgp_kp[:, :6], Jgp_lm)
+    Wp = w_gp[:, None, None] * Jgp_kp[:, 6:, None] * Jgp_lm[:, None, :]
 
     # ---- assemble dense H_pp [P,P] (block-diagonal embed, no scatter) ----
     blocks = jnp.pad(U_k, ((0, 0), (0, PD - 6), (0, PD - 6))) + U_gp  # [K,PD,PD]
-    H_pp = jnp.einsum("kab,kq->kaqb", blocks,
-                      jnp.eye(K, dtype=dtype)).reshape(P, P)
+    # broadcast-multiply with the identity mask, NOT einsum(..., eye):
+    # the dot-with-identity form sends XLA's algebraic simplifier into a
+    # circular rewrite loop on the SPMD-partitioned program ("stuck ...
+    # 50 runs", MULTICHIP_r02) — elementwise masking compiles clean
+    H_pp = (blocks[:, :, None, :]
+            * jnp.eye(K, dtype=dtype)[:, None, :, None]).reshape(P, P)
     b_p = (jnp.pad(b_pose_k, ((0, 0), (0, PD - 6))) + b_gp_k).reshape(P)
 
     if axis_name is not None:
@@ -350,10 +397,6 @@ def assemble(window: Window, sel: Selection, rig, cfg,
         H_pp = jax.lax.psum(H_pp, axis_name)
         b_p = jax.lax.psum(b_p, axis_name)
         cost = jax.lax.psum(cost, axis_name)
-
-    # embed W: pose columns from obs, pose+plane columns from gp
-    W_full = (jnp.pad(W_lk6, ((0, 0), (0, 0), (0, PD - 6), (0, 0))) + W_gp)
-    W_full = W_full.reshape(L, P, 3)
 
     # ---- regularization residuals (dense over pose+plane params) -------
     reg_r, reg_w, reg_J = _regularizer_system(window, sel, cfg, speed_reg, pose_only)
@@ -380,8 +423,8 @@ def assemble(window: Window, sel: Selection, rig, cfg,
         H4 = H_pp.reshape(K, PD, K, PD)
         H_pp = jnp.einsum("kai,kalb,lbj->kilj", T, H4, T).reshape(P, P)
         b_p = jnp.einsum("kai,ka->ki", T, b_p.reshape(K, PD)).reshape(P)
-        W_full = jnp.einsum("kai,lkab->lkib", T,
-                            W_full.reshape(L, K, PD, 3)).reshape(L, P, 3)
+        # project the pose part of the cross blocks (plane part is identity)
+        W6 = jnp.einsum("kai,lkab->lkib", B, W6)
     else:
         tangent_mask = jnp.ones((6,), dtype)
 
@@ -404,7 +447,11 @@ def assemble(window: Window, sel: Selection, rig, cfg,
     # apply masks: zero fixed rows/cols; unit diagonal added later w/ damping
     H_pp = H_pp * param_mask[:, None] * param_mask[None, :]
     b_p = b_p * param_mask
-    W_full = W_full * param_mask[None, :, None] * lm_free[:, None, None]
+    lm_f = lm_free.astype(dtype)
+    W6 = W6 * pose_dim_mask[None, :, :, None] * lm_f[:, None, None, None]
+    # the plane block's gauge mask gathered at each landmark's gp keyframe
+    Wp = Wp * (gp_oh @ plane_dim_mask.astype(dtype))[:, :, None] \
+        * lm_f[:, None, None]
     V = jnp.where(lm_free[:, None, None], V, jnp.eye(3, dtype=dtype)[None])
     b_l = b_l * lm_free[:, None]
 
@@ -420,7 +467,8 @@ def assemble(window: Window, sel: Selection, rig, cfg,
         n_depth=_gcount(depth_ok, axis_name),
         n_gp=_gcount(gp_on, axis_name),
     )
-    eqs = NormalEqs(H_pp=H_pp, b_p=b_p, V=V, b_l=b_l, W=W_full, cost=cost,
+    eqs = NormalEqs(H_pp=H_pp, b_p=b_p, V=V, b_l=b_l, W6=W6, Wp=Wp,
+                    gp_oh=gp_oh, cost=cost,
                     param_mask=param_mask, lm_mask=lm_free)
     return eqs, stats
 
@@ -512,24 +560,36 @@ def _regularizer_system(window: Window, sel: Selection, cfg, speed_reg, pose_onl
     chain_ok = pair_ok
     plane_ok = window.plane_valid & kf_valid
     chain_plane_ok = pair_ok & plane_ok[ia] & plane_ok[ib]
+    # One-hot row-selection matrices instead of traced-index gathers: the
+    # autodiff transpose of a gather is a scatter-add (serializes on TPU and
+    # runs every LM iteration inside the solve loop); the transpose of a
+    # one-hot matmul is a matmul. K ≈ 20, so these are tiny MXU ops.
+    oh_a = jax.nn.one_hot(ia, K, dtype=dtype)          # [K-1,K]
+    oh_b = jax.nn.one_hot(ib, K, dtype=dtype)
+    oh_s0 = jax.nn.one_hot(sel.scale_kf0, K, dtype=dtype)   # [K]
+    oh_s1 = jax.nn.one_hot(sel.scale_kf1, K, dtype=dtype)
 
     def all_res(delta):
         dp = delta[:, :6]
         dpl = delta[:, 6:]
         poses = pose_ops.boxplus(window.poses, dp)
         planes = plane_boxplus(window.planes, dpl)
+        poses_a = oh_a @ poses       # exact row selection (rows are one-hot)
+        poses_b = oh_b @ poses
+        planes_a = oh_a @ planes
+        planes_b = oh_b @ planes
         parts = []
         # scale regularization
-        p0 = poses[sel.scale_kf0]
-        p1 = poses[sel.scale_kf1]
+        p0 = oh_s0 @ poses
+        p1 = oh_s1 @ poses
         r_scale, _ = res_k.pose_scale(p1, p0, sel.scale_target)
         parts.append(r_scale)
         # plane chains (time-ordered pairs)
-        r_ndiff, _ = res_k.vector_difference(planes[ia, :3], planes[ib, :3])
+        r_ndiff, _ = res_k.vector_difference(planes_a[:, :3], planes_b[:, :3])
         parts.append(r_ndiff.reshape(-1))
-        r_ddiff = planes[ia, 3] - planes[ib, 3]
+        r_ddiff = planes_a[:, 3] - planes_b[:, 3]
         parts.append(r_ddiff)
-        r_motion, _ = res_k.groundplane_motion(poses[ia], poses[ib], planes[ia, :3])
+        r_motion, _ = res_k.groundplane_motion(poses_a, poses_b, planes_a[:, :3])
         parts.append(r_motion.reshape(-1))
         # plane prior to (0,0,1)
         prior = jnp.array([0.0, 0.0, 1.0], dtype)
@@ -538,7 +598,8 @@ def _regularizer_system(window: Window, sel: Selection, cfg, speed_reg, pose_onl
         # speed regularization (motion-only)
         if speed_reg is not None:
             kf_i, pob, vel, dt, _w = speed_reg
-            r_speed, _ = res_k.speed_vector(poses[kf_i], pob, vel, dt)
+            oh_sp = jax.nn.one_hot(kf_i, K, dtype=dtype)
+            r_speed, _ = res_k.speed_vector(oh_sp @ poses, pob, vel, dt)
             parts.append(r_speed)
         return jnp.concatenate(parts)
 

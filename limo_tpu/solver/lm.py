@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..state import Selection, Window
-from ..utils.precision import highest_matmul
+from ..utils.precision import solver_matmul
 from .ba_core import PD, assemble, compute_cost, plane_boxplus
 from ..geometry import pose as pose_ops
 
@@ -62,9 +62,36 @@ def solve_normal_equations(eqs, lam, axis_name=None):
     axis_name: inside ``shard_map`` with landmarks split over a mesh axis,
     the Schur correction (an L-axis reduction) is ``psum``-reduced; the
     reduced dense solve then runs replicated on every shard and the landmark
-    back-substitution stays local."""
+    back-substitution stays local.
+
+    Matmul precision is pinned to full-f32 HERE regardless of the outer
+    solver level: S = H_pp − W·V⁻¹·Wᵀ cancels almost exactly on weakly
+    constrained dims (mono scale!), and bf16 MXU passes lose that
+    difference — this is the step behind the round-2 2-cam ATE blowup
+    (utils/precision.py). Assembly reductions are either exact-f32 in the
+    Pallas kernel or benign sums, so they follow the cheaper global level.
+    """
+    with jax.default_matmul_precision("highest"):
+        return _solve_normal_equations(eqs, lam, axis_name)
+
+
+def _apply_vinv(Vinv, X):
+    """X·Vinv over the last axis, expanded as ELEMENTWISE broadcasting
+    arithmetic (VPU, exact f32) — a batched [L,·,3]×[L,3,3] einsum lowers
+    to L tiny MXU dots whose full-precision variant dominates the solve's
+    wall time; the elementwise form is both exact and fast.
+    X [L,...,3], Vinv [L,3,3] → [L,...,3]."""
+    nb = X.ndim - 2
+    Vb = Vinv.reshape(Vinv.shape[:1] + (1,) * nb + (3, 3))
+    return (X[..., 0:1] * Vb[..., 0, :]
+            + X[..., 1:2] * Vb[..., 1, :]
+            + X[..., 2:3] * Vb[..., 2, :])
+
+
+def _solve_normal_equations(eqs, lam, axis_name=None):
     dtype = eqs.H_pp.dtype
     P = eqs.H_pp.shape[0]
+    L, K = eqs.W6.shape[0], eqs.W6.shape[1]
     # Marquardt damping on diagonals (with absolute floor for flat dims)
     diag_p = jnp.diagonal(eqs.H_pp)
     H_pp = eqs.H_pp + jnp.diag(lam * jnp.maximum(diag_p, 1e-6))
@@ -74,10 +101,21 @@ def solve_normal_equations(eqs, lam, axis_name=None):
     V = eqs.V + (lam * jnp.maximum(Vdiag, 1e-6))[..., None] * jnp.eye(3, dtype=dtype)
     Vinv = _inv3(V)
 
-    # Schur complement (the L-axis reduction — ONE psum when sharded)
-    WVinv = jnp.einsum("lpi,lij->lpj", eqs.W, Vinv)
-    S_corr = jnp.einsum("lpi,lqi->pq", WVinv, eqs.W)
-    rhs_corr = jnp.einsum("lpi,li->p", WVinv, eqs.b_l)
+    # ---- Schur complement (ONE psum when sharded) ----------------------
+    # Augmented Gram form: with Wb = [W | b_l], G = (Wb Vinv) Wbᵀ gives the
+    # S correction, its rhs, AND the rhs·Vinv·rhs scalar in ONE full-f32
+    # MXU contraction — the only big dot that must run at "highest"
+    # (cancellation analysis in solve_normal_equations's docstring).
+    # W6 [L,K,6,3] pose blocks + Wp [L,4,3] plane block routed by gp_oh.
+    gp_oh = eqs.gp_oh
+    Wfull = jnp.concatenate([
+        eqs.W6, gp_oh[:, :, None, None] * eqs.Wp[:, None, :, :]], axis=2)
+    Wb = jnp.concatenate([Wfull.reshape(L, P, 3), eqs.b_l[:, None, :]],
+                         axis=1)                               # [L,P+1,3]
+    WbV = _apply_vinv(Vinv, Wb)                                # exact f32 VPU
+    G = jnp.einsum("lpi,lqi->pq", WbV, Wb)                     # [P+1,P+1]
+    S_corr = G[:P, :P]
+    rhs_corr = G[:P, P]
     if axis_name is not None:
         S_corr, rhs_corr = jax.lax.psum((S_corr, rhs_corr), axis_name)
     S = H_pp - S_corr
@@ -86,12 +124,19 @@ def solve_normal_equations(eqs, lam, axis_name=None):
     # dense solve of the reduced system (P ≈ 200)
     S = 0.5 * (S + S.T)
     delta_p = jax.scipy.linalg.solve(S, rhs, assume_a="pos")
-    # guard: fall back to lstsq-ish solve if cholesky produced NaNs
+    # guard: a failed Cholesky (NaNs) yields a ZERO step — the LM loop
+    # rejects it (cost did not strictly decrease) and retries with larger
+    # λ, which is exactly the trust-region response to an indefinite
+    # system. The previous guard dense-LU-resolved instead: a sequential
+    # 200×200 LU on TPU that XLA executes UNconditionally every iteration
+    # (both sides of the where), costing more than the Schur product.
     bad = ~jnp.all(jnp.isfinite(delta_p))
-    delta_p = jnp.where(bad, jnp.linalg.solve(S + jnp.eye(P, dtype=dtype), rhs), delta_p)
+    delta_p = jnp.where(bad, jnp.zeros_like(delta_p), delta_p)
     delta_p = delta_p * eqs.param_mask
 
-    delta_l = jnp.einsum("lij,lj->li", Vinv, eqs.b_l - jnp.einsum("lpi,p->li", eqs.W, delta_p))
+    # back-substitution (elementwise Vinv application; one matvec)
+    wtdp = jnp.einsum("lpi,p->li", Wb[:, :P], delta_p)
+    delta_l = _apply_vinv(Vinv, eqs.b_l - wtdp)
     delta_l = delta_l * eqs.lm_mask[:, None]
     return delta_p, delta_l
 
@@ -115,7 +160,7 @@ def apply_step(window: Window, delta_p, delta_l,
     )
 
 
-@highest_matmul
+@solver_matmul
 def run_lm(window: Window, sel: Selection, rig, cfg, max_iters,
            compensate_rotation: bool = False, pose_only: bool = False,
            speed_reg=None, initial_lambda=None, axis_name=None):
