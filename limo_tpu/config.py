@@ -36,6 +36,16 @@ class RobustLossConfig:
     num_trim_iterations: int = 1      # outer trim rounds (rosif: 1)
     min_residual_groups: int = 30     # skip trimming below this many landmarks
     trim_iteration_lm_steps: int = 2  # LM iterations per trim round (solve():745)
+    # Per-family TrimmerSpecification (robust_solving.hpp:18-25,135-156):
+    # each family dispatches Fix | Quantile. "quantile" uses the *_quantile
+    # values above; "fixed" rejects groups whose max raw residual norm
+    # exceeds the *_trim_fixed_thres value (TrimmerFix, trimmer_fix.hpp:36-47).
+    depth_trimmer: str = "quantile"
+    reprojection_trimmer: str = "quantile"
+    gp_trimmer: str = "quantile"
+    depth_trim_fixed_thres: float = 0.16
+    reprojection_trim_fixed_thres: float = 1.6
+    gp_trim_fixed_thres: float = 0.1
 
 
 @dataclass(frozen=True)
@@ -62,6 +72,23 @@ class SolverConfig:
     # "fix_rotation", or "circular_2d" (the "Bycicle" planar-arc model,
     # CircularMotionPlus2d). Applied as a per-keyframe tangent basis.
     motion_parameterization: str = "full_dof"
+    # Motion-only adjustment (adjustPoseOnly) budgets. The reference runs
+    # <=4 LM iterations with rotation-compensated (RotRocc) reprojection
+    # (bundle_adjuster_keyframes.cpp:66-75,832; cost_functors_ceres.hpp:
+    # 130-148). Round-3 A/B (120-frame synthetic drives, host driver +
+    # compiled scan pipeline; full table in PARITY.md §2.9):
+    #   host driver:  RotRocc ON  0.073% drift / 0.23 m ATE
+    #                 RotRocc OFF 1.72%  drift / 0.45 m ATE  → reference wins
+    #   scan driver:  RotRocc ON  3.3-3.8% drift (divergent — the RotRocc
+    #                 divisor shrinks cost as rotation grows, and the scan
+    #                 path's constant-velocity prior can start outside the
+    #                 safe basin);   RotRocc OFF 0.06% drift → OFF wins
+    #   4 vs 8 iterations: identical on both drivers → reference budget 4.
+    # Hence: host adjust_pose_only follows the reference exactly; the scan
+    # pipeline keeps its own flag (below) defaulting to plain reprojection.
+    pose_only_max_iterations: int = 4
+    pose_only_compensate_rotation: bool = True
+    scan_pose_only_compensate_rotation: bool = False
     # (auto-gated: TPU backend + f32 + no rotation compensation; 2.6x
     # full-solve speedup vs the einsum assembly, poses equal to f32
     # accumulation order)

@@ -26,7 +26,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..solver import solve_trimmed
 from ..state import Selection, Window
 
 DATA_AXIS = "data"
@@ -96,26 +95,16 @@ def make_sharded_solver(mesh: Mesh, rig, cfg, batched: bool = True):
     """jit-compiled trimmed solve with landmark/model + window/data sharding.
 
     batched=True expects a leading batch axis on every Window/Selection leaf
-    (one window per sequence) and maps solve_trimmed over it.
+    (one window per sequence) and maps the solve over it.
+
+    One code path for ANY sharding: this routes through the
+    ``shard_map`` solver so the fused Pallas assembly kernel stays active
+    on every landmark shard (per-shard L is static inside shard_map, so the
+    kernel tiles 512/256/128 apply). The previous GSPMD entry silently fell
+    back to the 2.6×-slower einsum assembly whenever the landmark axis was
+    partitioned (round-2 verdict item 4).
     """
-    import dataclasses
-
-    # the fused Pallas assembly kernel has no GSPMD partitioning rules yet —
-    # sharded solves use the einsum path (XLA partitions its contractions)
-    if getattr(cfg.solver, "use_pallas_assembly", False):
-        cfg = cfg.replace(solver=dataclasses.replace(
-            cfg.solver, use_pallas_assembly=False))
-    w_sh = window_shardings(mesh, batched)
-    s_sh = selection_shardings(mesh, batched)
-
-    if batched:
-        def fn(windows, sels):
-            return jax.vmap(lambda w, s: solve_trimmed(w, s, rig, cfg))(windows, sels)
-    else:
-        def fn(window, sel):
-            return solve_trimmed(window, sel, rig, cfg)
-
-    return jax.jit(fn, in_shardings=(w_sh, s_sh))
+    return make_shard_map_solver(mesh, rig, cfg, batched=batched)
 
 
 def make_shard_map_solver(mesh: Mesh, rig, cfg, batched: bool = False):
@@ -152,15 +141,23 @@ def make_shard_map_solver(mesh: Mesh, rig, cfg, batched: bool = False):
         return _solve(window, sel, rig, cfg, axis_name=MODEL_AXIS)
 
     if batched:
+        # lax.map, NOT vmap, over the per-shard window batch: a vmapped
+        # solve runs the while_loop max-iterations across the whole batch
+        # with both lax.cond branches selected (measured slower than
+        # single-stream, CLAUDE.md), and the vmapped loop body is what
+        # sent XLA's algebraic simplifier into its circular-rewrite loop
+        # on the SPMD program (MULTICHIP_r02 warning — gone with map).
+        # Sequential per-shard solves let each exit at its own convergence.
         def fn(windows, sels):
-            return jax.vmap(local_solve)(windows, sels)
+            return jax.lax.map(lambda ws: local_solve(*ws), (windows, sels))
     else:
         fn = local_solve
 
     from ..solver.trimmed import SolveInfo
+    # every SolveInfo leaf is replicated over MODEL (batch dim over DATA);
+    # trailing dims of the trace arrays replicate (spec shorter than rank)
     info_elem = P(DATA_AXIS) if batched else P()
-    out_info = SolveInfo(initial_cost=info_elem, final_cost=info_elem,
-                         n_trimmed=info_elem, n_accepted=info_elem)
+    out_info = SolveInfo(*([info_elem] * len(SolveInfo._fields)))
     if hasattr(jax, "shard_map"):          # jax >= 0.8
         sharded = jax.shard_map(fn, mesh=mesh,
                                 in_specs=(w_spec, s_spec),

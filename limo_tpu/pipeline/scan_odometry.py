@@ -278,14 +278,18 @@ def make_scan_step(rig, cfg, solve_budget: Optional[int] = None,
         lm_mask = st.window.lm_valid & (~st.lm_outlier) \
             & (st.sel_mask | (~jnp.any(st.sel_mask)))
         n_usable = jnp.sum((lm_mask & valid).astype(jnp.int32))
-        # plain reprojection here: the RotRocc divisor rewards large
-        # rotations (cost → 0 as the rotation-only error grows), which an
-        # 8-iteration LM from a several-meter prior can exploit; the
-        # reference stays in the safe basin only because its prior is a
-        # fresh per-frame 5-point estimate and it runs ≤4 iterations
+        # Iteration budget follows the reference (<=4, cfg.solver). RotRocc
+        # stays OFF here by measured necessity: the round-3 A/B (table in
+        # PARITY.md §2.9 and config.py) shows RotRocc diverges on this path
+        # (3.3-3.8% drift vs 0.06%) because the constant-velocity prior can
+        # start outside the divisor's safe basin, while the host driver —
+        # whose prior matches the reference's per-frame 5-point estimate —
+        # wins with RotRocc ON and uses it (reference parity).
         po = pose_only_step(prior, st.window.lm_pos, uvd[:, None, :],
                             (valid & lm_mask)[:, None], lm_mask, rig, cfg,
-                            max_iters=8, compensate_rotation=False,
+                            max_iters=cfg.solver.pose_only_max_iterations,
+                            compensate_rotation=(
+                                cfg.solver.scan_pose_only_compensate_rotation),
                             lm_weight=st.window.lm_weight)
         refined = jnp.where((st.n_kf >= 1) & (n_usable >= 10), po.pose, prior)
         refined = pose_ops.normalize(refined)
@@ -612,16 +616,16 @@ def run_tuning_grid(stamps, uvd_seq, valid_seq, rig, cfg, grid,
             # surviving probe compile is reused as the runner), starting
             # from 32 (measured 54 MiB — comfortably inside the budget)
             cand = min(G, 32)
-            while cand > 1:
+            while True:
                 n_c = -(-G // cand)
                 chunk = -(-G // n_c)
                 probe = run.lower(*batch_args(grid[:chunk])).compile()
-                if _code_size_mib(probe) <= CODE_SIZE_BUDGET_MIB:
+                if _code_size_mib(probe) <= CODE_SIZE_BUDGET_MIB or chunk == 1:
+                    # width 1 is the floor: accept it even over budget so the
+                    # probe compile is validated AND warm (reused as runner)
                     max_chunk = chunk
                     break
                 cand = max(1, chunk // 2)
-            else:
-                max_chunk = 1
         else:
             max_chunk = None  # CPU/interpret: no device code-size ceiling
 

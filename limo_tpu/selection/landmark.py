@@ -165,6 +165,12 @@ def voxel_scheme(window: Window, newest_kf: jnp.ndarray, candidates: jnp.ndarray
     path = pose_ops.apply(cur_pose, kf_pos_origin)    # [K,3]
     dist = _dist_to_path(p, path, window.kf_valid)
 
+    # roi_*_xyz[0] as a SCALAR distance-to-path threshold is the reference's
+    # actual behavior: getCategorizedSelection passes params_.roi_far_xyz[0]
+    # / roi_middle_xyz[0] to filterPipe (landmark_selection_scheme_voxel.cpp
+    # :162,:171), a boost::geometry point-to-linestring distance test. The
+    # per-axis box filter (filterXYZ, :49-91) exists in that file but has NO
+    # caller — y/z ROI components are dead parameters upstream too.
     far_thres = jnp.asarray(ls.roi_far_xyz[0], dtype)
     mid_thres = jnp.asarray(ls.roi_middle_xyz[0], dtype)
     far_mask = alive & (dist >= far_thres)

@@ -7,8 +7,10 @@ Algorithm (reference semantics, SURVEY §2.2):
        extend the round to 3× the budget (robust_solving.cpp:167-181)
     2. evaluate raw loss-free residuals grouped per landmark; score =
        max block norm within the group (robust_solving.cpp:67-91)
-    3. per family (depth / reprojection / gp) trim by quantile, skipping
-       families with < min_residual_groups valid groups
+    3. per family (depth / reprojection / gp) trim by its
+       ``TrimmerSpecification`` — Fix | Quantile dispatch per family
+       (robust_solving.hpp:18-25,135-156; apply_trimmer.hpp:29-45) —
+       skipping families with < min_residual_groups valid groups
     4. union outlier groups over families; remove ALL residuals of those
        landmarks (here: clear the selection mask — weights, not shapes)
     5. the trust region resets each round (trust_region_relaxation_factor=-10)
@@ -20,6 +22,12 @@ the final refinement phase are all traced state transitions inside the loop.
 The compiled program contains exactly one normal-equation assembly graph —
 this matters under remote-compile TPU backends where program size dominates
 compile latency.
+
+Diagnostics: :class:`SolveInfo` carries the merged-``Summary``/FullReport
+equivalents (robust_solving.hpp:44-74; ``bundle_adjuster_keyframes.cpp:766``)
+as fixed-shape arrays — per-round per-family trim counts and an
+accept/reject trace with per-iteration costs — cheap int/f32 vectors that
+make perf/accuracy regressions attributable from bench and eval logs.
 """
 
 from __future__ import annotations
@@ -29,8 +37,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..robust import trim_quantile
-from ..utils.precision import highest_matmul
+from ..robust import trim_fixed, trim_quantile
+from ..utils.precision import solver_matmul
 from ..state import Selection, Window
 from .ba_core import assemble, compute_cost, residual_stats
 from .lm import apply_step, solve_normal_equations
@@ -41,6 +49,22 @@ class SolveInfo(NamedTuple):
     final_cost: jnp.ndarray
     n_trimmed: jnp.ndarray
     n_accepted: jnp.ndarray
+    # ---- Summary/FullReport parity (robust_solving.hpp:44-74) ----------
+    n_iterations: jnp.ndarray = None   # total LM iterations executed
+    n_rounds: jnp.ndarray = None       # trim rounds completed
+    trimmed_repr: jnp.ndarray = None   # [R] per-round reprojection-family counts
+    trimmed_depth: jnp.ndarray = None  # [R]
+    trimmed_gp: jnp.ndarray = None     # [R]
+    accept_trace: jnp.ndarray = None   # [T] int8: 0 unused, 1 accepted, 2 rejected
+    cost_trace: jnp.ndarray = None     # [T] cost after each executed iteration
+
+
+def trace_capacity(cfg) -> int:
+    """Fixed length of the iteration-trace arrays for a given config."""
+    rcfg, scfg = cfg.robust, cfg.solver
+    return (rcfg.num_trim_iterations
+            * scfg.diverged_retry_factor * rcfg.trim_iteration_lm_steps
+            + scfg.refinement_iterations)
 
 
 class _TrimState(NamedTuple):
@@ -50,14 +74,20 @@ class _TrimState(NamedTuple):
     cost: jnp.ndarray
     round_start_cost: jnp.ndarray
     it_in_round: jnp.ndarray   # LM iterations taken in the current round
+    it_total: jnp.ndarray      # LM iterations taken overall (trace cursor)
     round_idx: jnp.ndarray     # 0..num_rounds-1 trim rounds, num_rounds = refinement
     extended: jnp.ndarray      # divergence-retry extension active
     n_trimmed: jnp.ndarray
     n_accepted: jnp.ndarray
+    trimmed_repr: jnp.ndarray  # [R] per-round family counts
+    trimmed_depth: jnp.ndarray
+    trimmed_gp: jnp.ndarray
+    accept_trace: jnp.ndarray  # [T] int8
+    cost_trace: jnp.ndarray    # [T]
     done: jnp.ndarray
 
 
-@highest_matmul
+@solver_matmul
 def solve_trimmed(window: Window, sel: Selection, rig, cfg,
                   compensate_rotation: bool = False, axis_name=None):
     """Full trimmed solve. Returns (window, selection, SolveInfo).
@@ -80,6 +110,7 @@ def solve_trimmed(window: Window, sel: Selection, rig, cfg,
     budget = rcfg.trim_iteration_lm_steps
     budget_ext = scfg.diverged_retry_factor * budget
     refine_iters = scfg.refinement_iterations
+    T = trace_capacity(cfg)
 
     def sel_with(mask):
         return sel._replace(lm_selected=mask)
@@ -90,7 +121,9 @@ def solve_trimmed(window: Window, sel: Selection, rig, cfg,
                             axis_name=axis_name)
 
     def gsum(x):
-        n = jnp.sum(x.astype(jnp.int32))
+        # dtype=int32 also pins the x64-mode accumulator (jnp.sum would
+        # promote to int64 and poison the int32 count arrays downstream)
+        n = jnp.sum(x, dtype=jnp.int32)
         return n if axis_name is None else jax.lax.psum(n, axis_name)
 
     initial_cost = get_cost(window, sel.lm_selected)
@@ -98,24 +131,44 @@ def solve_trimmed(window: Window, sel: Selection, rig, cfg,
     n_selected = gsum(window.lm_valid & sel.lm_selected)
     trim_active = n_selected > 100
 
+    def family_outliers(score, valid, trimmer, quantile, fixed_thres):
+        """Per-family TrimmerSpecification dispatch (apply_trimmer.hpp:29-45)
+        with the min-groups guard (getResidualsToRemove,
+        robust_solving.cpp:100-125)."""
+        if trimmer == "quantile":
+            out = trim_quantile(score, valid, quantile, axis_name)
+        elif trimmer == "fixed":
+            out = trim_fixed(score, valid, fixed_thres)
+        else:
+            raise ValueError(f"unknown trimmer type {trimmer!r}")
+        return out & (gsum(valid) >= rcfg.min_residual_groups)
+
     def trim(st: _TrimState) -> _TrimState:
         stats = residual_stats(st.window, sel_with(st.lm_selected), rig, cfg,
                                compensate_rotation=compensate_rotation,
                                axis_name=axis_name)
-        out_repr = (trim_quantile(stats.repr_score, stats.repr_valid,
-                                  rcfg.reprojection_quantile, axis_name)
-                    & (gsum(stats.repr_valid) >= rcfg.min_residual_groups))
-        out_depth = (trim_quantile(stats.depth_score, stats.depth_valid,
-                                   rcfg.depth_quantile, axis_name)
-                     & (gsum(stats.depth_valid) >= rcfg.min_residual_groups))
-        out_gp = (trim_quantile(stats.gp_score, stats.gp_valid,
-                                rcfg.gp_quantile, axis_name)
-                  & (gsum(stats.gp_valid) >= rcfg.min_residual_groups))
-        outliers = (out_repr | out_depth | out_gp) & trim_active
+        out_repr = family_outliers(stats.repr_score, stats.repr_valid,
+                                   rcfg.reprojection_trimmer,
+                                   rcfg.reprojection_quantile,
+                                   rcfg.reprojection_trim_fixed_thres)
+        out_depth = family_outliers(stats.depth_score, stats.depth_valid,
+                                    rcfg.depth_trimmer, rcfg.depth_quantile,
+                                    rcfg.depth_trim_fixed_thres)
+        out_gp = family_outliers(stats.gp_score, stats.gp_valid,
+                                 rcfg.gp_trimmer, rcfg.gp_quantile,
+                                 rcfg.gp_trim_fixed_thres)
+        out_repr = out_repr & trim_active
+        out_depth = out_depth & trim_active
+        out_gp = out_gp & trim_active
+        outliers = out_repr | out_depth | out_gp
         mask = st.lm_selected & (~outliers)
+        ridx = jnp.clip(st.round_idx, 0, max(num_rounds - 1, 0))
         return st._replace(
             lm_selected=mask,
             n_trimmed=(st.n_trimmed + gsum(outliers)).astype(jnp.int32),
+            trimmed_repr=st.trimmed_repr.at[ridx].set(gsum(out_repr)),
+            trimmed_depth=st.trimmed_depth.at[ridx].set(gsum(out_depth)),
+            trimmed_gp=st.trimmed_gp.at[ridx].set(gsum(out_gp)),
             cost=get_cost(st.window, mask),
         )
 
@@ -140,9 +193,15 @@ def solve_trimmed(window: Window, sel: Selection, rig, cfg,
         rel_step = (st.cost - new_cost) / jnp.maximum(st.cost, 1e-12)
         converged = accept & (rel_step < scfg.function_tolerance)
         cost = jnp.where(accept, new_cost, st.cost)
-        st = st._replace(window=window, lam=lam, cost=cost,
-                         it_in_round=st.it_in_round + 1,
-                         n_accepted=st.n_accepted + accept.astype(jnp.int32))
+        tcur = jnp.clip(st.it_total, 0, T - 1)
+        st = st._replace(
+            window=window, lam=lam, cost=cost,
+            it_in_round=st.it_in_round + 1,
+            it_total=st.it_total + 1,
+            n_accepted=st.n_accepted + accept.astype(jnp.int32),
+            accept_trace=st.accept_trace.at[tcur].set(
+                jnp.where(accept, 1, 2).astype(jnp.int8)),
+            cost_trace=st.cost_trace.at[tcur].set(cost))
 
         # ---- round bookkeeping -----------------------------------------
         in_refinement = st.round_idx >= num_rounds
@@ -182,13 +241,26 @@ def solve_trimmed(window: Window, sel: Selection, rig, cfg,
         cost=initial_cost,
         round_start_cost=initial_cost,
         it_in_round=jnp.asarray(0, jnp.int32),
+        it_total=jnp.asarray(0, jnp.int32),
         round_idx=jnp.asarray(0, jnp.int32),
         extended=jnp.asarray(False),
         n_trimmed=jnp.asarray(0, jnp.int32),
         n_accepted=jnp.asarray(0, jnp.int32),
+        trimmed_repr=jnp.zeros((max(num_rounds, 1),), jnp.int32),
+        trimmed_depth=jnp.zeros((max(num_rounds, 1),), jnp.int32),
+        trimmed_gp=jnp.zeros((max(num_rounds, 1),), jnp.int32),
+        accept_trace=jnp.zeros((T,), jnp.int8),
+        cost_trace=jnp.zeros((T,), dtype),
         done=jnp.asarray(False),
     )
     out = jax.lax.while_loop(cond, body, st0)
     info = SolveInfo(initial_cost=initial_cost, final_cost=out.cost,
-                     n_trimmed=out.n_trimmed, n_accepted=out.n_accepted)
+                     n_trimmed=out.n_trimmed, n_accepted=out.n_accepted,
+                     n_iterations=out.it_total,
+                     n_rounds=jnp.minimum(out.round_idx, num_rounds),
+                     trimmed_repr=out.trimmed_repr,
+                     trimmed_depth=out.trimmed_depth,
+                     trimmed_gp=out.trimmed_gp,
+                     accept_trace=out.accept_trace,
+                     cost_trace=out.cost_trace)
     return out.window, sel_with(out.lm_selected), info

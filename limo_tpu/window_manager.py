@@ -176,6 +176,15 @@ class BundleAdjuster:
         self._archive: Dict[float, np.ndarray] = {}  # stamp → final pose (evicted)
         self._last_selection: Optional[np.ndarray] = None  # [L] bool
         self._last_categories: Optional[np.ndarray] = None
+        # unselected-count + last-seen bookkeeping with 10 s GC — the
+        # LandmarkSelector's markUnselected/clean/getUnselectedLandmarks
+        # surface (landmark_selector.hpp:260-275). NOTE the reference never
+        # *consumes* these counts anywhere (getUnselectedLandmarks has no
+        # caller); landmark retention is governed by the observed-in-window
+        # shrink in deactivateKeyframes (:950-960), which this class also
+        # implements. Kept for API parity and diagnostics.
+        self._unselected_counts: Dict[int, int] = {}
+        self._unselected_last_seen: Dict[int, float] = {}
         self._solve_fn = None
         self._pose_only_fn = None
 
@@ -499,7 +508,32 @@ class BundleAdjuster:
         self._lm_pos[known] = np.asarray(lm_pos, np.float64)[known]
         self._last_categories = np.asarray(cat)
         self._last_selection = np.asarray(selected)
+        self._mark_unselected(np.asarray(selected))
         return info
+
+    def _mark_unselected(self, selected: np.ndarray,
+                         gc_window_sec: float = 10.0):
+        """markUnselected + clean (landmark_selector.hpp:260-275): bump the
+        per-landmark unselected count for every valid landmark the selection
+        skipped, stamp it with the newest keyframe time, and GC bookkeeping
+        entries not seen within ``gc_window_sec``."""
+        cur_ts = float(self._stamps[self._kf_order[-1]])
+        for slot in np.flatnonzero(self._lm_valid & self._lm_known
+                                   & ~selected):
+            lm_id = int(self._lm_id[slot])
+            self._unselected_counts[lm_id] = \
+                self._unselected_counts.get(lm_id, 0) + 1
+            self._unselected_last_seen[lm_id] = cur_ts
+        cutoff = cur_ts - gc_window_sec
+        for lm_id in [i for i, t in self._unselected_last_seen.items()
+                      if t < cutoff]:
+            self._unselected_counts.pop(lm_id, None)
+            self._unselected_last_seen.pop(lm_id, None)
+
+    def unselected_landmarks(self) -> Dict[int, int]:
+        """getUnselectedLandmarks (landmark_selector.hpp:282-287): landmark
+        id → how often it was passed over by selection (10 s retention)."""
+        return dict(self._unselected_counts)
 
     # ------------------------------------------------------------------
     # adjustPoseOnly — reference :820-888 (motion-only BA)
@@ -561,16 +595,24 @@ class BundleAdjuster:
         if self._pose_only_fn is None:
             cfg, rig = self.cfg, self.rig
 
+            po_iters = cfg.solver.pose_only_max_iterations
+            po_rotrocc = cfg.solver.pose_only_compensate_rotation
+
             @jax.jit
             def _po(pose, lm_pos, obs, mask, lm_mask, lm_weight, speed_reg):
                 return pose_only_step(pose, lm_pos, obs, mask, lm_mask, rig,
                                       cfg, speed_reg=speed_reg,
+                                      max_iters=po_iters,
+                                      compensate_rotation=po_rotrocc,
                                       lm_weight=lm_weight)
 
             @jax.jit
             def _po_nospeed(pose, lm_pos, obs, mask, lm_mask, lm_weight):
                 return pose_only_step(pose, lm_pos, obs, mask, lm_mask, rig,
-                                      cfg, speed_reg=None, lm_weight=lm_weight)
+                                      cfg, speed_reg=None,
+                                      max_iters=po_iters,
+                                      compensate_rotation=po_rotrocc,
+                                      lm_weight=lm_weight)
 
             self._pose_only_fn = (_po, _po_nospeed)
 

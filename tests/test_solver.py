@@ -253,6 +253,68 @@ class TestTrimmedSolve:
         assert dq.max() < 2e-2 and dt.max() < 6e-2, (dq, dt)
         assert float(info.final_cost) < float(info.initial_cost)
 
+    def test_fixed_trimmer_e2e(self, rng):
+        """Per-family TrimmerSpecification with Fix dispatch
+        (robust_solving.hpp:18-25,135-156; trimmer_fix.hpp:36-47) through the
+        fused solve loop: constant-offset outlier tracks exceed the fixed
+        residual threshold and must be removed, after which the solution
+        matches ground truth (robust_optimization.cpp:134-156 semantics)."""
+        import dataclasses
+        gt = make_gt_poses()
+        lms = make_landmarks(rng, n=150)
+        n_out = 10  # fixed trimming has no quantile cap — trim all 10 at once
+        w, cfg = build_window(gt, lms, RIG, pose_noise=(0.01, 0.1),
+                              lm_noise=0.2, pixel_noise=0.3, rng=rng,
+                              n_outliers=n_out)
+        cfg = cfg.replace(robust=dataclasses.replace(
+            cfg.robust,
+            reprojection_trimmer="fixed", reprojection_trim_fixed_thres=10.0,
+            depth_trimmer="fixed", depth_trim_fixed_thres=0.5))
+        target = float(jnp.linalg.norm(gt[1, 4:] - gt[0, 4:]))
+        sel = default_selection(w, scale_weight=1000.0, scale_target=target)
+        w2, sel2, info = jax.jit(
+            lambda w, s: solve_trimmed(w, s, RIG, cfg))(w, sel)
+        dropped = ~np.asarray(sel2.lm_selected[:n_out])
+        assert dropped.all(), dropped
+        # inliers (moderate pixel noise) stay well below the 10 px threshold
+        assert bool(np.asarray(sel2.lm_selected[n_out:150]).all())
+        dq, dt = pose_errors(w2, gt)
+        assert dq.max() < 2e-2 and dt.max() < 6e-2, (dq, dt)
+
+    def test_solve_diagnostics(self, rng):
+        """SolveInfo Summary/FullReport parity (robust_solving.hpp:44-74):
+        per-round per-family trim counts and the accept/reject iteration
+        trace must be populated and self-consistent."""
+        from limo_tpu.solver.trimmed import trace_capacity
+        gt = make_gt_poses()
+        lms = make_landmarks(rng, n=150)
+        n_out = 6
+        w, cfg = build_window(gt, lms, RIG, pose_noise=(0.01, 0.1),
+                              lm_noise=0.2, pixel_noise=0.3, rng=rng,
+                              n_outliers=n_out)
+        target = float(jnp.linalg.norm(gt[1, 4:] - gt[0, 4:]))
+        sel = default_selection(w, scale_weight=1000.0, scale_target=target)
+        _, _, info = jax.jit(
+            lambda w, s: solve_trimmed(w, s, RIG, cfg))(w, sel)
+        T = trace_capacity(cfg)
+        n_it = int(info.n_iterations)
+        assert 0 < n_it <= T
+        trace = np.asarray(info.accept_trace)
+        # exactly the first n_it slots are used, each accepted(1)/rejected(2)
+        assert set(trace[:n_it]) <= {1, 2}
+        assert (trace[n_it:] == 0).all()
+        assert int(np.sum(trace == 1)) == int(info.n_accepted)
+        assert int(info.n_rounds) == cfg.robust.num_trim_iterations
+        # family counts sum to at least the union count (union <= sum)
+        fam_sum = (int(np.sum(info.trimmed_repr))
+                   + int(np.sum(info.trimmed_depth))
+                   + int(np.sum(info.trimmed_gp)))
+        assert fam_sum >= int(info.n_trimmed) > 0
+        # cost trace: recorded costs are finite and end at final_cost
+        costs = np.asarray(info.cost_trace)[:n_it]
+        assert np.isfinite(costs).all()
+        np.testing.assert_allclose(costs[-1], float(info.final_cost), rtol=1e-6)
+
     def test_no_trim_below_min_groups(self, rng):
         gt = make_gt_poses()
         lms = make_landmarks(rng, n=40)  # < 100 selected ⇒ no trimming
