@@ -44,6 +44,12 @@ class TrackerConfig:
     patch: int = 8                 # descriptor patch side
     border: int = 12
     subpixel: bool = True          # refinement: 1 (yaml:19)
+    # spatial bucketing (viso2 match_binsize, config_feature_matching
+    # .yaml:13): detections are capped PER BUCKET before the global top-k,
+    # so one high-contrast region (road texture, foliage) cannot starve the
+    # rest of the image of features. 0 disables.
+    bucket_size: int = 50
+    bucket_cap: int = 0            # features per bucket; 0 = auto from k
 
 
 class Features(NamedTuple):
@@ -103,10 +109,35 @@ def detect(img, cfg: TrackerConfig = TrackerConfig()) -> Features:
     row = jnp.arange(H)[:, None]
     col = jnp.arange(W)[None, :]
     inside = (row >= b) & (row < H - b) & (col >= b) & (col < W - b)
-    score = jnp.where(is_peak & inside, resp, 0.0).reshape(-1)
+    score2d = jnp.where(is_peak & inside, resp, 0.0)
+    score = score2d.reshape(-1)
 
     k = cfg.max_features
-    top_val, top_idx = jax.lax.top_k(score, k)
+    bs = cfg.bucket_size
+    if bs and bs < min(H, W):
+        # per-bucket cap, then global top-k over the survivors
+        Hp, Wp = -(-H // bs) * bs, -(-W // bs) * bs
+        nbh, nbw = Hp // bs, Wp // bs
+        cap = cfg.bucket_cap or max(4, (2 * k) // (nbh * nbw))
+        cap = min(cap, bs * bs)
+        sc = jnp.zeros((Hp, Wp), score2d.dtype).at[:H, :W].set(score2d)
+        tiles = sc.reshape(nbh, bs, nbw, bs).transpose(0, 2, 1, 3) \
+            .reshape(nbh * nbw, bs * bs)
+        tv, ti = jax.lax.top_k(tiles, cap)               # [T,cap]
+        trow = (jnp.arange(nbh * nbw, dtype=jnp.int32) // nbw) * bs
+        tcol = (jnp.arange(nbh * nbw, dtype=jnp.int32) % nbw) * bs
+        py = jnp.clip(trow[:, None] + ti // bs, 0, H - 1)
+        px = jnp.clip(tcol[:, None] + ti % bs, 0, W - 1)
+        sel_idx = (py * W + px).reshape(-1)
+        sel_val = tv.reshape(-1)
+        top_val, pos = jax.lax.top_k(sel_val, min(k, sel_val.shape[0]))
+        top_idx = sel_idx[pos]
+        if top_val.shape[0] < k:  # fewer buckets×cap than k: pad
+            pad = k - top_val.shape[0]
+            top_val = jnp.concatenate([top_val, jnp.zeros((pad,), top_val.dtype)])
+            top_idx = jnp.concatenate([top_idx, jnp.zeros((pad,), top_idx.dtype)])
+    else:
+        top_val, top_idx = jax.lax.top_k(score, k)
     vv = (top_idx // W).astype(jnp.float32)
     uu = (top_idx % W).astype(jnp.float32)
     valid = top_val > 0

@@ -127,6 +127,24 @@ class KittiSequence:
     def load_velodyne(self, i: int) -> np.ndarray:
         return read_velodyne(self.velodyne_path(i))
 
+    def label_path(self, i: int, cam: int = 0) -> str:
+        """Semantic label image (uint8 cityscapes ids). KITTI odometry does
+        not ship these; the reference attaches externally-generated labels
+        (launch/semantic_labels.launch) — a ``labels_N/`` dir alongside
+        ``image_N/`` plays that role here."""
+        return os.path.join(self.root, f"labels_{cam}", f"{i:06d}.png")
+
+    @property
+    def has_labels(self) -> bool:
+        return os.path.isdir(os.path.join(self.root, "labels_0"))
+
+    def load_labels(self, i: int, cam: int = 0) -> Optional[np.ndarray]:
+        path = self.label_path(i, cam)
+        if not os.path.exists(path):
+            return None
+        from PIL import Image
+        return np.asarray(Image.open(path), dtype=np.int32)
+
 
 def pose7_to_kitti(poses7: np.ndarray) -> np.ndarray:
     """Window/archive pose7 (keyframe←origin) → KITTI 4×4 (origin←frame).

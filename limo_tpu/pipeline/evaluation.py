@@ -58,11 +58,17 @@ def evaluate_kitti_sequence(seq_dir: str, out_poses: str,
     n = len(seq) if max_frames is None else min(max_frames, len(seq))
     Tr = calib.Tr_cam_velo
 
+    with_labels = seq.has_labels
+
     def load(i):
         img = seq.load_image(i)
         velo = seq.load_velodyne(i)
         # velodyne → cam0 (= vehicle) frame
         cloud = (velo[:, :3] @ Tr[:3, :3].T) + Tr[:3, 3]
+        if with_labels:
+            # semantic label images drive the outlier/shrubbery/ground path
+            # (reference: semantic_labels nodelet, kitti_standalone.launch)
+            return seq.times[i], img, cloud, seq.load_labels(i)
         return seq.times[i], img, cloud
 
     from .executor import run_pipelined

@@ -60,10 +60,15 @@ class PrefetchExecutor:
 def run_pipelined(pipe, frames: Iterable, load: Callable,
                   prefetch: int = 3, workers: int = 2) -> list:
     """Drive a :class:`~limo_tpu.pipeline.full.LimoPipeline` with loading
-    overlapped against compute. ``load(frame) -> (stamp, image, cloud)``
-    (cloud may be None); returns the per-frame results."""
+    overlapped against compute. ``load(frame) -> (stamp, image, cloud)`` or
+    ``(stamp, image, cloud, label_image)`` (cloud/label may be None);
+    returns the per-frame results."""
     results = []
-    for stamp, image, cloud in PrefetchExecutor(load, frames, prefetch,
-                                                workers):
-        results.append(pipe.process(stamp, image, cloud))
+    for item in PrefetchExecutor(load, frames, prefetch, workers):
+        stamp, image, cloud = item[:3]
+        if len(item) > 3:
+            results.append(pipe.process(stamp, image, cloud,
+                                        label_image=item[3]))
+        else:  # 3-tuple loaders work with any pipe-like object
+            results.append(pipe.process(stamp, image, cloud))
     return results
