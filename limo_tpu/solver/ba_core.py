@@ -116,6 +116,34 @@ def plan_tile(plan: str) -> "int | None":
     return int(plan.split("tile=")[1].split("]")[0])
 
 
+def _kernel_inputs(window: Window, rig, lm_active):
+    """Lane-major operand layout shared by the fused assembly kernel and
+    the cost-only kernel (solver/pallas_assemble.py)."""
+    from ..geometry.quaternion import qnormalize, qto_matrix
+
+    K, L, C = window.K, window.L, window.C
+    dtype = window.poses.dtype
+    f = rig.focal.astype(dtype)
+    pp = rig.principal.astype(dtype)
+    Tcv = rig.T_cam_veh.astype(dtype)
+    obs_t = window.obs.transpose(1, 2, 3, 0).reshape(K * C * 3, L)
+    base = (window.obs_mask & lm_active[:, None, None]
+            & window.kf_valid[None, :, None])
+    repr_base = base.astype(dtype).transpose(1, 2, 0).reshape(K * C, L)
+    depth_base = (base & (window.obs[..., 2] > 0)
+                  & window.lm_has_depth[:, None, None]
+                  ).astype(dtype).transpose(1, 2, 0).reshape(K * C, L)
+    lm_t = window.lm_pos.T
+    wlm = window.lm_weight[None, :]
+    R_kf = qto_matrix(qnormalize(window.poses[:, :4]))
+    pose_mats = jnp.concatenate([R_kf.reshape(K, 9),
+                                 window.poses[:, 4:]], -1)
+    R_cv = qto_matrix(qnormalize(Tcv[:, :4]))
+    cam_mats = jnp.concatenate([
+        R_cv.reshape(C, 9), Tcv[:, 4:], f[:, None], pp], -1)
+    return obs_t, repr_base, depth_base, lm_t, wlm, pose_mats, cam_mats, base
+
+
 class ResidualStats(NamedTuple):
     """Raw (loss-free) per-landmark max block norms per family + counts —
     the inputs to trimming (``robust_solving.cpp:16-91``)."""
@@ -315,23 +343,9 @@ def assemble(window: Window, sel: Selection, rig, cfg,
     if use_pallas:
         # fused Mosaic kernel: residuals + analytic jacobians in registers,
         # only the reduced blocks hit HBM (solver/pallas_assemble.py)
-        from ..geometry.quaternion import qnormalize, qto_matrix
-        from .pallas_assemble import TL, assemble_obs_pallas
-        obs_t = window.obs.transpose(1, 2, 3, 0).reshape(K * C * 3, L)
-        base = (window.obs_mask & lm_active[:, None, None]
-                & window.kf_valid[None, :, None])
-        repr_base = base.astype(dtype).transpose(1, 2, 0).reshape(K * C, L)
-        depth_base = (base & (window.obs[..., 2] > 0)
-                      & window.lm_has_depth[:, None, None]
-                      ).astype(dtype).transpose(1, 2, 0).reshape(K * C, L)
-        lm_t = window.lm_pos.T
-        wlm = window.lm_weight[None, :]
-        R_kf = qto_matrix(qnormalize(window.poses[:, :4]))
-        pose_mats = jnp.concatenate([R_kf.reshape(K, 9),
-                                     window.poses[:, 4:]], -1)
-        R_cv = qto_matrix(qnormalize(Tcv[:, :4]))
-        cam_mats = jnp.concatenate([
-            R_cv.reshape(C, 9), Tcv[:, 4:], f[:, None], pp], -1)
+        from .pallas_assemble import assemble_obs_pallas
+        (obs_t, repr_base, depth_base, lm_t, wlm, pose_mats, cam_mats,
+         base) = _kernel_inputs(window, rig, lm_active)
         blocks_obs = assemble_obs_pallas(
             obs_t, repr_base, depth_base, lm_t, wlm, pose_mats, cam_mats,
             K=K, C=C, a2r=float(robust_cfg.reprojection_thres) ** 2,
@@ -484,10 +498,29 @@ def compute_cost(window: Window, sel: Selection, rig, cfg,
                  pose_only: bool = False, speed_reg=None,
                  axis_name=None) -> jnp.ndarray:
     """Robust cost only — no jacobians. Used for LM accept/reject so the
-    compiled graph stays ~9× smaller than a full assemble per candidate."""
-    _, _, _, _, _, _, cost = _obs_system(window, sel, rig, cfg,
-                                         compensate_rotation,
-                                         with_jacobians=False)
+    compiled graph stays ~9× smaller than a full assemble per candidate.
+
+    When the assembly plan is the fused Pallas kernel, the observation
+    cost comes from the cost-only kernel variant (same arithmetic and f32
+    accumulation order as assemble's cost, so accept/reject comparisons
+    are internally consistent); the einsum forward pass otherwise."""
+    plan = assembly_plan(window.L, window.poses.dtype, cfg,
+                         compensate_rotation)
+    if plan.startswith("pallas"):
+        from .pallas_assemble import cost_obs_pallas
+        lm_active = window.lm_valid & sel.lm_selected
+        (obs_t, repr_base, depth_base, lm_t, wlm, pose_mats, cam_mats,
+         _) = _kernel_inputs(window, rig, lm_active)
+        cost = cost_obs_pallas(
+            obs_t, repr_base, depth_base, lm_t, wlm, pose_mats, cam_mats,
+            K=window.K, C=window.C,
+            a2r=float(cfg.robust.reprojection_thres) ** 2,
+            a2d=float(cfg.robust.depth_thres) ** 2,
+            interpret="interpret" in plan, tl=plan_tile(plan))
+    else:
+        _, _, _, _, _, _, cost = _obs_system(window, sel, rig, cfg,
+                                             compensate_rotation,
+                                             with_jacobians=False)
     _, _, _, gp_cost, _, _ = _gp_system(window, sel, cfg, with_jacobians=False)
     cost = cost + gp_cost
     if axis_name is not None:

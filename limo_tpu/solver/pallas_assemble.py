@@ -51,6 +51,94 @@ class ObsBlocks(NamedTuple):
     cost: jnp.ndarray     # scalar
 
 
+def _cost_kernel(K, C, a2r, a2d, tl,
+                 pose_ref, cam_ref,
+                 obs_ref, repr_base_ref, depth_base_ref, lm_ref, wlm_ref,
+                 cost_ref):
+    """Cost-only variant of :func:`_kernel`: residuals + robust cost, no
+    jacobian/Hessian accumulation. The LM loop evaluates the candidate
+    cost once per iteration (accept/reject) and the trim rounds once more;
+    running that forward pass through the fused kernel instead of the
+    einsum grid removes the largest non-assembly cost of each iteration."""
+    shp = (tl // LANE, LANE)
+    f32 = jnp.float32
+
+    def vec(ref, row):
+        return ref[row].reshape(shp)
+
+    x0, x1, x2 = vec(lm_ref, 0), vec(lm_ref, 1), vec(lm_ref, 2)
+    w_lm = vec(wlm_ref, 0)
+    cost_acc = jnp.zeros(shp, f32)
+
+    for k in range(K):
+        R = [[pose_ref[k, 3 * i + j] for j in range(3)] for i in range(3)]
+        t = [pose_ref[k, 9 + i] for i in range(3)]
+        y = [R[i][0] * x0 + R[i][1] * x1 + R[i][2] * x2 for i in range(3)]
+        pv = [y[i] + t[i] for i in range(3)]
+        for c in range(C):
+            A = [[cam_ref[c, 3 * i + j] for j in range(3)] for i in range(3)]
+            tc = [cam_ref[c, 9 + i] for i in range(3)]
+            fl = cam_ref[c, 12]
+            cx = cam_ref[c, 13]
+            cy = cam_ref[c, 14]
+            p = [A[i][0] * pv[0] + A[i][1] * pv[1] + A[i][2] * pv[2] + tc[i]
+                 for i in range(3)]
+            z = p[2]
+            proj_ok = jnp.abs(z) >= 0.01
+            inv_z = 1.0 / jnp.where(proj_ok, z, 1.0)
+            row = k * C + c
+            ou = vec(obs_ref, 3 * row + 0)
+            ov = vec(obs_ref, 3 * row + 1)
+            od = vec(obs_ref, 3 * row + 2)
+            m_repr = vec(repr_base_ref, row) * proj_ok.astype(f32)
+            m_depth = vec(depth_base_ref, row) * (z > 0.0).astype(f32)
+            r_u = fl * p[0] * inv_z + cx - ou
+            r_v = fl * p[1] * inv_z + cy - ov
+            r_d = z - od
+            s_repr = r_u * r_u + r_v * r_v
+            s_dep = r_d * r_d
+            cost_acc = cost_acc + 0.5 * w_lm * (
+                m_repr * a2r * jnp.log1p(s_repr / a2r)
+                + m_depth * a2d * jnp.log1p(s_dep / a2d))
+
+    for r in range(8):
+        cost_ref[0, r] = (jnp.sum(cost_acc, axis=0) if r == 0
+                          else jnp.zeros((LANE,), f32))
+
+
+@partial(jax.jit, static_argnames=("K", "C", "a2r", "a2d", "interpret", "tl"))
+def cost_obs_pallas(obs_t, repr_base, depth_base, lm_t, wlm,
+                    pose_mats, cam_mats, K: int, C: int,
+                    a2r: float, a2d: float,
+                    interpret: bool = False, tl: int = TL) -> jnp.ndarray:
+    """Robust observation cost only (same inputs as
+    :func:`assemble_obs_pallas`); returns the scalar cost."""
+    L = obs_t.shape[1]
+    assert L % tl == 0 and tl % LANE == 0, (L, tl)
+    grid = (L // tl,)
+    kern = partial(_cost_kernel, K, C, a2r, a2d, tl)
+    lane_spec = lambda rows: pl.BlockSpec((rows, tl), lambda i: (0, i),
+                                          memory_space=pltpu.VMEM)
+    cost_p = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((K, 12), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((C, 15), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            lane_spec(K * C * 3),
+            lane_spec(K * C),
+            lane_spec(K * C),
+            lane_spec(3),
+            lane_spec(1),
+        ],
+        out_specs=pl.BlockSpec((1, 8, LANE), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((grid[0], 8, LANE), jnp.float32),
+        interpret=interpret,
+    )(pose_mats, cam_mats, obs_t, repr_base, depth_base, lm_t, wlm)
+    return jnp.sum(cost_p[:, 0, :])
+
+
 def _kernel(K, C, a2r, a2d, tl,
             pose_ref, cam_ref,
             obs_ref, repr_base_ref, depth_base_ref, lm_ref, wlm_ref,

@@ -2,6 +2,7 @@
 (same residuals, IRLS weights, and reduced blocks). Runs in interpreter mode
 on CPU; the compiled path is exercised on real TPU by bench/verify drives."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -149,3 +150,24 @@ class TestPallasAssemble:
         np.testing.assert_allclose(out.U, U_r, rtol=2e-3, atol=0.1)
         np.testing.assert_allclose(out.b_pose, bp_r, rtol=2e-3, atol=0.1)
         np.testing.assert_allclose(float(out.cost), float(cost_r), rtol=1e-4)
+
+    def test_cost_kernel_matches_einsum(self, rng):
+        """The cost-only kernel (LM accept/reject fast path) must agree
+        with the einsum forward cost — compute_cost dispatches on the
+        assembly plan, so any drift between the two would corrupt the
+        accept decisions mid-solve."""
+        import dataclasses
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from __graft_entry__ import _make_problem
+        from limo_tpu.solver.ba_core import assembly_plan, compute_cost
+
+        w, sel, rig, cfg = _make_problem(5, 256, 5, 200, jnp.float32, seed=3)
+        cfg_i = cfg.replace(solver=dataclasses.replace(
+            cfg.solver, pallas_interpret=True))
+        cfg_e = cfg.replace(solver=dataclasses.replace(
+            cfg.solver, use_pallas_assembly=False))
+        assert assembly_plan(w.L, jnp.float32, cfg_i).startswith("pallas")
+        c_k = jax.jit(lambda a, b: compute_cost(a, b, rig, cfg_i))(w, sel)
+        c_e = jax.jit(lambda a, b: compute_cost(a, b, rig, cfg_e))(w, sel)
+        np.testing.assert_allclose(float(c_k), float(c_e), rtol=2e-5)
