@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..geometry import quaternion as quat
@@ -50,3 +51,60 @@ def select_keyframe(uv_new, uv_last_kf, match_mask,
     is_kf = (selected | sparsified) & (~rejected)
     return KeyframeDecision(is_keyframe=is_kf, rejected=rejected,
                             selected=selected, sparsified=sparsified)
+
+
+def select_keyframes(stamps, uvs, valid, quats,
+                     uv_last_kf, valid_last_kf, q_last_kf, ts_last_kf,
+                     has_last_kf, cfg) -> jnp.ndarray:
+    """Candidate-frame-SET selection — ``KeyframeSelector::select`` over a
+    frame list (keyframe_selector.cpp:107-133), for burst ingest.
+
+    The reference tests every scheme against BOTH the already-selected
+    buffer and the frames accepted earlier in this batch (applyRejection/
+    applySelectionScheme's ``isUsable(frame, buffer) ... isUsable(frame,
+    selected_keyframes)``): rejection and sparsification must pass against
+    both sets, selection passes if either set demands the frame. Here that
+    is a ``lax.scan`` over candidates carrying the last accepted frame.
+
+    stamps [F], uvs [F,R,2] (track-row-aligned across frames), valid [F,R],
+    quats [F,4]; ``uv_last_kf``/``valid_last_kf``/``q_last_kf``/
+    ``ts_last_kf`` describe the newest already-selected keyframe and
+    ``has_last_kf`` whether one exists. Returns accepted [F] bool.
+    """
+    ks = cfg.keyframe_selection
+    big_neg = jnp.asarray(-1e30, stamps.dtype)
+
+    def decide(ts, uv, v, q, uv_ref, v_ref, q_ref, ts_ref):
+        flow, n = mean_flow(uv, uv_ref, v & v_ref)
+        rejected = (n > 0) & (flow < ks.min_median_flow)
+        selected = quat.qangle(q, q_ref) > ks.critical_quaternion_difference
+        sparsified = (ts - ts_ref) > ks.time_between_keyframes_sec
+        return rejected, selected, sparsified
+
+    def step(carry, frame):
+        uv_s, v_s, q_s, ts_s, has_s = carry
+        ts, uv, v, q = frame
+        rej_b, sel_b, sp_b = decide(ts, uv, v, q, uv_last_kf,
+                                    valid_last_kf, q_last_kf,
+                                    jnp.where(has_last_kf, ts_last_kf,
+                                              big_neg))
+        rej_s, sel_s, sp_s = decide(ts, uv, v, q, uv_s, v_s, q_s,
+                                    jnp.where(has_s, ts_s, big_neg))
+        rej_b = rej_b & has_last_kf
+        rej_s = rej_s & has_s
+        rejected = rej_b | rej_s                 # usable vs BOTH sets
+        selected = (sel_b & has_last_kf) | (sel_s & has_s) \
+            | ((~has_last_kf) & (~has_s))        # very first frame: keep
+        sparsified = sp_b & sp_s                 # time gap vs BOTH sets
+        accept = (selected | sparsified) & (~rejected)
+        uv_s = jnp.where(accept, uv, uv_s)
+        v_s = jnp.where(accept, v, v_s)
+        q_s = jnp.where(accept, q, q_s)
+        ts_s = jnp.where(accept, ts, ts_s)
+        has_s = has_s | accept
+        return (uv_s, v_s, q_s, ts_s, has_s), accept
+
+    carry0 = (jnp.zeros_like(uvs[0]), jnp.zeros_like(valid[0]),
+              quat.qidentity(quats.dtype), big_neg, jnp.asarray(False))
+    _, accepted = jax.lax.scan(step, carry0, (stamps, uvs, valid, quats))
+    return accepted

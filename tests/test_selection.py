@@ -179,3 +179,70 @@ class TestAddDepth:
         assert int(out.sum()) >= 10
         assert bool(out[np.asarray(comparator)].any())
         assert not bool(out[~np.asarray(comparator)].any())
+
+
+class TestKeyframeBatchSelect:
+    """Candidate-frame-SET selection (keyframe_selector.cpp:107-133):
+    burst ingest must sparsify WITHIN the batch (time gap against both the
+    buffer and frames accepted earlier in the batch), veto standstill
+    frames, and force-keep sharp rotations."""
+
+    def _cfg(self):
+        from limo_tpu.config import LimoConfig
+        return LimoConfig()
+
+    def _frames(self, n, dt, flow_px, yaw_step=0.0):
+        import numpy as np
+        from limo_tpu.geometry import quaternion as quat
+        R = 8
+        base = np.tile(np.linspace(40, 260, R)[:, None], (1, 2))
+        stamps = jnp.asarray(np.arange(n) * dt, jnp.float32)
+        uvs = jnp.asarray(np.stack([base + i * flow_px for i in range(n)]),
+                          jnp.float32)
+        valid = jnp.ones((n, R), bool)
+        qs = []
+        q = quat.qidentity(jnp.float32)
+        for i in range(n):
+            qs.append(q)
+            q = quat.qmul(quat.qfrom_axis_angle(
+                jnp.array([0.0, 0.0, 1.0], jnp.float32),
+                jnp.asarray(yaw_step, jnp.float32)), q)
+        return stamps, uvs, valid, jnp.stack(qs)
+
+    def _select(self, stamps, uvs, valid, qs, cfg, has_last=False):
+        from limo_tpu.selection import select_keyframes
+        R = uvs.shape[1]
+        return np.asarray(select_keyframes(
+            stamps, uvs, valid, qs,
+            uvs[0], valid[0], qs[0], jnp.asarray(-1.0, jnp.float32),
+            jnp.asarray(has_last), cfg))
+
+    def test_burst_time_sparsification(self):
+        # 10 frames 0.1 s apart, plenty of flow: only every 0.4 s survives
+        cfg = self._cfg()
+        stamps, uvs, valid, qs = self._frames(10, dt=0.1, flow_px=8.0)
+        acc = self._select(stamps, uvs, valid, qs, cfg)
+        # first frame always kept; then the 0.4 s spacing rule in-batch
+        kept = np.flatnonzero(acc)
+        assert acc[0]
+        assert np.all(np.diff(stamps[kept]) > cfg.keyframe_selection
+                      .time_between_keyframes_sec)
+        assert 2 <= len(kept) <= 3, kept
+
+    def test_standstill_vetoes_whole_burst(self):
+        cfg = self._cfg()
+        stamps, uvs, valid, qs = self._frames(6, dt=0.5, flow_px=0.2)
+        acc = self._select(stamps, uvs, valid, qs, cfg, has_last=True)
+        assert not acc.any(), acc
+
+    def test_rotation_forces_keep_inside_burst(self):
+        cfg = self._cfg()
+        stamps, uvs, valid, qs = self._frames(5, dt=0.05, flow_px=8.0,
+                                              yaw_step=0.05)
+        acc = self._select(stamps, uvs, valid, qs, cfg, has_last=True)
+        # frame 0 duplicates the buffer keyframe (zero flow, zero rotation)
+        # and is standstill-vetoed; every later frame rotates i*0.05 rad
+        # > 0.03 critical → kept despite the 0.05 s spacing being far below
+        # the 0.4 s sparsification gap
+        assert not acc[0]
+        assert acc[1:].all(), acc
