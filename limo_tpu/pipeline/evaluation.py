@@ -344,6 +344,12 @@ def main():  # pragma: no cover — manual entry
     p.add_argument("--longfleet", type=int, default=0,
                    help="N kilometre-scale drives as one batched computation"
                         " (--frames per drive, default 1200)")
+    p.add_argument("--repeat", type=int, default=1,
+                   help="run the evaluation N times in-process and print "
+                        "each report: over the axon tunnel the persistent "
+                        "compile cache cannot serialize executables, so "
+                        "only a repeat run within one process measures "
+                        "warm (compile-free) throughput")
     args = p.parse_args()
     from ..utils import enable_compilation_cache
     enable_compilation_cache()
@@ -361,9 +367,11 @@ def main():  # pragma: no cover — manual entry
                                              out_dir=fleet_out_dir()):
             print(rep.to_json())
     elif args.longdrive:
-        rep = evaluate_long_drive(num_frames=args.longdrive,
-                                  out_poses=args.out)
-        print(rep.to_json())
+        for i in range(max(args.repeat, 1)):
+            rep = evaluate_long_drive(num_frames=args.longdrive,
+                                      out_poses=args.out)
+            tag = "warm" if i else "cold"
+            print(f"[{tag}]", rep.to_json())
     elif args.fleet:
         for rep in evaluate_fleet_synthetic(args.fleet,
                                             num_frames=args.frames or 40,
