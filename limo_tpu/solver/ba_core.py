@@ -196,54 +196,38 @@ def _obs_system(window: Window, sel: Selection, rig, cfg,
     Tcv = rig.T_cam_veh.astype(dtype)
     robust_cfg = cfg.robust
 
-    use_autodiff = True
-    # NOTE: an analytic-jacobian grid path exists (solver/analytic.py, exact
-    # vs autodiff) but benches 2× slower under XLA on TPU — the tiny 3×3
-    # einsum chains trigger layout shuffles that jacfwd's fused code avoids.
-    # The closed forms feed the Pallas assembly kernel instead.
-    if use_autodiff or compensate_rotation:
-        N = L * K * C
-        uvd = window.obs.reshape(N, 3)
-        kf_idx = (jnp.arange(N, dtype=jnp.int32) // C) % K
-        cam_idx = jnp.arange(N, dtype=jnp.int32) % C
-        lm_idx = jnp.arange(N, dtype=jnp.int32) // (K * C)
-        poses_o = window.poses[kf_idx]
-        lms_o = window.lm_pos[lm_idx]
+    # Autodiff on the flattened obs axis. An analytic-jacobian grid path
+    # exists (solver/analytic.py, exactness-tested vs this one) but benches
+    # 2× slower under XLA on TPU — the tiny 3×3 einsum chains trigger layout
+    # shuffles that jacfwd's fused code avoids. Its closed forms live on as
+    # the derivation the Pallas assembly kernel implements in registers.
+    N = L * K * C
+    uvd = window.obs.reshape(N, 3)
+    kf_idx = (jnp.arange(N, dtype=jnp.int32) // C) % K
+    cam_idx = jnp.arange(N, dtype=jnp.int32) % C
+    lm_idx = jnp.arange(N, dtype=jnp.int32) // (K * C)
+    poses_o = window.poses[kf_idx]
+    lms_o = window.lm_pos[lm_idx]
 
-        def obs_fn(pt, ld, pose, lm, uvd1, f1, pp1, tcv1):
-            return _obs_residual(pt, ld, pose, lm, uvd1, f1, pp1, tcv1,
-                                 compensate_rotation=compensate_rotation)
+    def obs_fn(pt, ld, pose, lm, uvd1, f1, pp1, tcv1):
+        return _obs_residual(pt, ld, pose, lm, uvd1, f1, pp1, tcv1,
+                             compensate_rotation=compensate_rotation)
 
-        zero6 = jnp.zeros((N, 6), dtype)
-        zero3 = jnp.zeros((N, 3), dtype)
-        args = (zero6, zero3, poses_o, lms_o, uvd, f[cam_idx], pp[cam_idx],
-                Tcv[cam_idx])
-        r_flat, proj_ok_f = jax.vmap(obs_fn)(*args)
-        if with_jacobians:
-            jac_fn = jax.jacfwd(lambda pt, ld, *a: obs_fn(pt, ld, *a)[0],
-                                argnums=(0, 1))
-            Jp_f, Jl_f = jax.vmap(jac_fn)(*args)
-            Jp = Jp_f.reshape(L, K, C, 3, 6)
-            Jl = Jl_f.reshape(L, K, C, 3, 3)
-        else:
-            Jp = Jl = None
-        r = r_flat.reshape(L, K, C, 3)
-        proj_ok = proj_ok_f
+    zero6 = jnp.zeros((N, 6), dtype)
+    zero3 = jnp.zeros((N, 3), dtype)
+    args = (zero6, zero3, poses_o, lms_o, uvd, f[cam_idx], pp[cam_idx],
+            Tcv[cam_idx])
+    r_flat, proj_ok_f = jax.vmap(obs_fn)(*args)
+    if with_jacobians:
+        jac_fn = jax.jacfwd(lambda pt, ld, *a: obs_fn(pt, ld, *a)[0],
+                            argnums=(0, 1))
+        Jp_f, Jl_f = jax.vmap(jac_fn)(*args)
+        Jp = Jp_f.reshape(L, K, C, 3, 6)
+        Jl = Jl_f.reshape(L, K, C, 3, 3)
     else:
-        # analytic path (production): structured [L,K,C] grid, closed-form
-        # jacobians (solver/analytic.py), no per-observation pose gathers
-        from .analytic import obs_residual_jac
-        from ..geometry.quaternion import qnormalize, qto_matrix
-
-        R_kf = qto_matrix(qnormalize(window.poses[:, :4]))       # [K,3,3]
-        R_cv = qto_matrix(qnormalize(Tcv[:, :4]))                # [C,3,3]
-        r, proj_ok_g, Jp_g, Jl_g = obs_residual_jac(
-            R_kf[None, :, None], window.poses[None, :, None, 4:],
-            window.lm_pos[:, None, None], window.obs,
-            f[None, None, :], pp[None, None, :],
-            R_cv[None, None, :], Tcv[None, None, :, 4:])
-        proj_ok = proj_ok_g.reshape(-1)
-        Jp, Jl = (Jp_g, Jl_g) if with_jacobians else (None, None)
+        Jp = Jl = None
+    r = r_flat.reshape(L, K, C, 3)
+    proj_ok = proj_ok_f
     lm_active = window.lm_valid & sel.lm_selected
     base_ok = (window.obs_mask & lm_active[:, None, None]
                & window.kf_valid[None, :, None])
