@@ -362,10 +362,12 @@ def main():  # pragma: no cover — manual entry
         return None
 
     if args.longfleet:
-        for rep in evaluate_long_drive_fleet(args.longfleet,
-                                             num_frames=args.frames or 1200,
-                                             out_dir=fleet_out_dir()):
-            print(rep.to_json())
+        for i in range(max(args.repeat, 1)):
+            tag = "warm" if i else "cold"
+            for rep in evaluate_long_drive_fleet(
+                    args.longfleet, num_frames=args.frames or 1200,
+                    out_dir=fleet_out_dir()):
+                print(f"[{tag}]", rep.to_json())
     elif args.longdrive:
         for i in range(max(args.repeat, 1)):
             rep = evaluate_long_drive(num_frames=args.longdrive,
