@@ -17,6 +17,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from ..utils.precision import highest_matmul
 
 
 class PlaneResult(NamedTuple):
@@ -47,6 +48,7 @@ def fit_plane_lsq(points, w):
     return n, dist
 
 
+@highest_matmul
 def estimate_groundplane(points, valid,
                          z_band=(-3.5, -1.0),
                          inlier_thres: float = 0.2,

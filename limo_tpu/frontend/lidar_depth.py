@@ -35,6 +35,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from ..utils.precision import highest_matmul
 import numpy as np
 
 
@@ -304,6 +305,7 @@ def _region_grow_segment(pts, mask, uvs, uv_feat, cfg: LidarDepthConfig):
 
 
 @partial(jax.jit, static_argnames=("cfg", "image_size"))
+@highest_matmul
 def estimate_depths(cloud_cam, cloud_valid, uv_feat, focal, principal,
                     image_size, cfg: LidarDepthConfig = LidarDepthConfig()
                     ) -> DepthResult:
@@ -362,6 +364,7 @@ def estimate_depths(cloud_cam, cloud_valid, uv_feat, focal, principal,
 
 
 @partial(jax.jit, static_argnames=("cfg", "image_size"))
+@highest_matmul
 def ground_patch_depths(cloud_cam, gp_inlier, uv_feat, plane_normal,
                         plane_dist, focal, principal, image_size,
                         cfg: LidarDepthConfig = LidarDepthConfig()):

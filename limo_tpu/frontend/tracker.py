@@ -30,6 +30,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from ..utils.precision import highest_matmul
 import numpy as np
 
 
@@ -80,6 +81,7 @@ def _box_filter(x, r):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+@highest_matmul
 def detect(img, cfg: TrackerConfig = TrackerConfig()) -> Features:
     """Shi-Tomasi corners + NMS + top-k + descriptors on one grayscale image
     [H,W] (float 0..1)."""
@@ -241,6 +243,7 @@ def _empty_features(cfg: TrackerConfig) -> Features:
 
 
 @partial(jax.jit, static_argnames=("cfg", "has_prev"))
+@highest_matmul
 def _detect_and_match(img, prev, cfg: TrackerConfig, has_prev: bool):
     """detect + match fused into one program — one dispatch per frame
     instead of two (each dispatch is a round trip on remote TPU links)."""

@@ -25,6 +25,7 @@ from ..frontend.semantics import attach_labels
 from ..frontend.tracker import FeatureTracker, TrackerConfig
 from ..geometry import pose as pose_ops
 from ..geometry.camera import CameraRig
+from ..utils.precision import highest_matmul
 from .odometry import FrameResult, LidarOdometry
 from .tracklets import Tracklets
 
@@ -44,6 +45,7 @@ def _gamma_u8_device(img_u8, gamma: float):
 
 @partial(jax.jit,
          static_argnames=("image_size", "lidar_cfg", "use_gp", "gp_band"))
+@highest_matmul
 def _frontend_depth(cloud_veh, cloud_valid, Tcv7, uv, f, pp,
                     image_size, lidar_cfg, use_gp, gp_band):
     """The whole lidar front end as ONE program: vehicle→cam transform,
