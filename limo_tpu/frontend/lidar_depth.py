@@ -241,6 +241,56 @@ def _triangle_patch(pts, seg, ray, cfg: LidarDepthConfig, triples):
     return n, sup, found & ortho
 
 
+def eigh3_sym(A):
+    """Closed-form symmetric 3×3 eigendecomposition → (eigenvalues
+    ascending [...,3], smallest-eigenvalue eigenvector [...,3]).
+
+    Trigonometric eigenvalues (Smith's method) + cross-product null-space
+    recovery for the eigenvector. Replaces ``jnp.linalg.eigh`` on the depth
+    estimator's plane-fit covariances: the TPU ``eigh`` custom call is an
+    iterative Jacobi whose f32 behavior on near-degenerate (planar!)
+    covariances differs from CPU LAPACK, and the analytic form is both
+    deterministic across backends and cheaper (pure elementwise VPU ops
+    instead of a sequential custom call)."""
+    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a11, a12, a22 = A[..., 1, 1], A[..., 1, 2], A[..., 2, 2]
+    dtype = A.dtype
+    q = (a00 + a11 + a22) / 3.0
+    p1 = a01 * a01 + a02 * a02 + a12 * a12
+    p2 = ((a00 - q) ** 2 + (a11 - q) ** 2 + (a22 - q) ** 2 + 2.0 * p1)
+    diagish = p2 <= 1e-14 * jnp.maximum(q * q, 1e-30)
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 1e-38))
+    b00, b11, b22 = (a00 - q) / p, (a11 - q) / p, (a22 - q) / p
+    b01, b02, b12 = a01 / p, a02 / p, a12 / p
+    detB = (b00 * (b11 * b22 - b12 * b12)
+            - b01 * (b01 * b22 - b12 * b02)
+            + b02 * (b01 * b12 - b11 * b02))
+    phi = jnp.arccos(jnp.clip(detB / 2.0, -1.0, 1.0)) / 3.0
+    l3 = q + 2.0 * p * jnp.cos(phi)                       # largest
+    l1 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)  # smallest
+    l2 = 3.0 * q - l1 - l3
+    evals = jnp.stack([l1, l2, l3], -1)
+
+    # null-space of (A − λ1 I): the largest row-pair cross product
+    r0 = jnp.stack([a00 - l1, a01, a02], -1)
+    r1 = jnp.stack([a01, a11 - l1, a12], -1)
+    r2 = jnp.stack([a02, a12, a22 - l1], -1)
+    cands = jnp.stack([jnp.cross(r0, r1), jnp.cross(r0, r2),
+                       jnp.cross(r1, r2)], -2)            # [...,3,3]
+    norms = jnp.linalg.norm(cands, axis=-1)
+    oh = jax.nn.one_hot(jnp.argmax(norms, -1), 3, dtype=dtype)
+    v = jnp.sum(cands * oh[..., None], -2)
+    vn = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    # degenerate fallbacks: repeated λ1 (cross products vanish) or an
+    # (almost) diagonal matrix → smallest-diagonal basis vector
+    diag3 = jnp.stack([a00, a11, a22], -1)
+    axis_v = jax.nn.one_hot(jnp.argmin(diag3, -1), 3, dtype=dtype)
+    bad = diagish[..., None] | (vn[..., 0] <= 1e-20)[..., None]
+    v = jnp.where(bad, axis_v, v / jnp.maximum(vn, 1e-20))
+    evals = jnp.where(diagish[..., None], jnp.sort(diag3, -1), evals)
+    return evals, v
+
+
 def _pca_patch(pts, seg, ray, cfg: LidarDepthConfig):
     """PCA local patch (``do_use_PCA`` variant): plane through the segment's
     centroid with normal = smallest-eigenvalue direction, gated on the
@@ -255,9 +305,7 @@ def _pca_patch(pts, seg, ray, cfg: LidarDepthConfig):
     c = jnp.sum(pts * segf[..., None], -2) / denom
     dp = (pts - c[..., None, :]) * segf[..., None]
     cov = jnp.einsum("...ki,...kj->...ij", dp, dp) / denom[..., None]
-    evals, evecs = jnp.linalg.eigh(cov)          # ascending
-    n = evecs[..., 0]
-    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    evals, n = eigh3_sym(cov)                    # ascending, unit n
     l1, l2, l3 = evals[..., 0], evals[..., 1], evals[..., 2]
     shape_ok = ((l3 >= cfg.pca_abs_min)
                 & (l3 <= cfg.pca_rel_32_max * jnp.maximum(l2, 1e-12))
@@ -391,8 +439,7 @@ def ground_patch_depths(cloud_cam, gp_inlier, uv_feat, plane_normal,
     c = jnp.sum(pts * w[..., None], -2) / wsum
     dp = (pts - c[:, None, :]) * w[..., None]
     cov = jnp.einsum("fki,fkj->fij", dp, pts - c[:, None, :])
-    evals, evecs = jnp.linalg.eigh(cov)
-    n_loc = evecs[..., 0]
+    _, n_loc = eigh3_sym(cov)
     # orient like the global plane
     flip = jnp.sign(jnp.sum(n_loc * plane_normal, -1, keepdims=True) + 1e-12)
     n_loc = n_loc * flip

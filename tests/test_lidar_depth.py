@@ -3,6 +3,7 @@ res/mono_lidar_fusion_parameters.yaml, SURVEY §2.12): neighbor selection,
 histogram foreground isolation, triangle patch fit, thresholds, and the
 ground-plane RANSAC depth path."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -284,3 +285,45 @@ class TestVariantModes:
             jnp.asarray([[100.0, 100.0]], DT), cfg)
         assert bool(found[0])
         assert int(seg.sum()) <= 4
+
+
+class TestEigh3Sym:
+    """Closed-form symmetric 3×3 eigensolver: must match LAPACK on random
+    SPD and near-degenerate planar covariances (the depth estimator's
+    actual regime), and survive diagonal/repeated-eigenvalue corner cases
+    without NaNs."""
+
+    def test_matches_lapack(self, rng):
+        from limo_tpu.frontend.lidar_depth import eigh3_sym
+        M = rng.normal(size=(500, 3, 3))
+        A = M @ M.transpose(0, 2, 1)
+        D = rng.normal(size=(500, 6, 3))
+        D[..., 2] *= 1e-3                      # near-planar point sets
+        A2 = np.einsum("nki,nkj->nij", D, D)
+        for arr in (A, A2):
+            ev_ref, V_ref = np.linalg.eigh(arr)
+            ev, v = jax.jit(eigh3_sym)(jnp.asarray(arr))
+            np.testing.assert_allclose(np.asarray(ev), ev_ref,
+                                       rtol=1e-5, atol=1e-8)
+            dots = np.abs(np.sum(np.asarray(v) * V_ref[..., 0], -1))
+            assert dots.min() > 1.0 - 1e-6, dots.min()
+
+    def test_degenerate_no_nan(self):
+        from limo_tpu.frontend.lidar_depth import eigh3_sym
+        cases = jnp.stack([
+            jnp.eye(3),                         # triple eigenvalue
+            jnp.diag(jnp.array([3.0, 1.0, 2.0])),
+            jnp.zeros((3, 3)),
+            jnp.diag(jnp.array([2.0, 2.0, 5.0])),  # repeated smallest
+        ])
+        ev, v = jax.jit(eigh3_sym)(cases)
+        assert np.isfinite(np.asarray(ev)).all()
+        assert np.isfinite(np.asarray(v)).all()
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(v), axis=-1),
+                                   1.0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ev)[1], [1.0, 2.0, 3.0],
+                                   atol=1e-6)
+        # eigenvector belongs to the smallest eigenvalue
+        res = np.einsum("nij,nj->ni", np.asarray(cases), np.asarray(v)) \
+            - np.asarray(ev)[:, :1] * np.asarray(v)
+        assert np.abs(res).max() < 1e-5
