@@ -41,8 +41,8 @@ def fit_plane_lsq(points, w):
     c = jnp.sum(points * w[:, None], 0) / wsum
     d = (points - c) * w[:, None]
     cov = d.T @ d / wsum
-    evals, evecs = jnp.linalg.eigh(cov)
-    n = evecs[:, 0]
+    from .lidar_depth import eigh3_sym
+    _, n = eigh3_sym(cov)   # closed-form: backend-deterministic (see there)
     n = n * jnp.sign(n[2] + 1e-12)          # orient up
     dist = -jnp.dot(n, c)
     return n, dist
