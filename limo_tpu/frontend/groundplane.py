@@ -41,8 +41,15 @@ def fit_plane_lsq(points, w):
     c = jnp.sum(points * w[:, None], 0) / wsum
     d = (points - c) * w[:, None]
     cov = d.T @ d / wsum
-    from .lidar_depth import eigh3_sym
-    _, n = eigh3_sym(cov)   # closed-form: backend-deterministic (see there)
+    # NOTE: keep the LAPACK-style eigh here. The closed-form eigh3_sym was
+    # tried and measured WORSE on-chip (2.45% -> 6.95% drift on the
+    # 200-frame rendered drive): ground covariances have ~1e7 eigenvalue
+    # spread (tens-of-metres planar extent vs centimetre thickness) and the
+    # trigonometric smallest-eigenvalue formula cancels to O(1) relative
+    # error at f32 there; the local depth patches it serves well are
+    # small-extent and well-conditioned.
+    evals, evecs = jnp.linalg.eigh(cov)
+    n = evecs[:, 0]
     n = n * jnp.sign(n[2] + 1e-12)          # orient up
     dist = -jnp.dot(n, c)
     return n, dist

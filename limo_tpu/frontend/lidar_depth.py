@@ -251,7 +251,13 @@ def eigh3_sym(A):
     iterative Jacobi whose f32 behavior on near-degenerate (planar!)
     covariances differs from CPU LAPACK, and the analytic form is both
     deterministic across backends and cheaper (pure elementwise VPU ops
-    instead of a sequential custom call)."""
+    instead of a sequential custom call).
+
+    Conditioning caveat: the trigonometric λ_min cancels with relative
+    error ~eps·(λ_max/λ_min), so at f32 this is for covariances with
+    moderate eigenvalue spread (local patches, ≲1e5) — NOT for the
+    RANSAC ground fit (~1e7 spread; measured worse there, see
+    frontend/groundplane.fit_plane_lsq)."""
     a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
     a11, a12, a22 = A[..., 1, 1], A[..., 1, 2], A[..., 2, 2]
     dtype = A.dtype
