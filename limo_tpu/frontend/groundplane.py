@@ -41,15 +41,22 @@ def fit_plane_lsq(points, w):
     c = jnp.sum(points * w[:, None], 0) / wsum
     d = (points - c) * w[:, None]
     cov = d.T @ d / wsum
-    # NOTE: keep the LAPACK-style eigh here. The closed-form eigh3_sym was
-    # tried and measured WORSE on-chip (2.45% -> 6.95% drift on the
-    # 200-frame rendered drive): ground covariances have ~1e7 eigenvalue
-    # spread (tens-of-metres planar extent vs centimetre thickness) and the
-    # trigonometric smallest-eigenvalue formula cancels to O(1) relative
-    # error at f32 there; the local depth patches it serves well are
-    # small-extent and well-conditioned.
-    evals, evecs = jnp.linalg.eigh(cov)
-    n = evecs[:, 0]
+    # Cyclic-Jacobi eigensolver (utils/eig3.py), NOT jnp.linalg.eigh and NOT
+    # the trigonometric eigh3_sym. History of this line (r3→r4):
+    #  - jnp.linalg.eigh is backend-DEPENDENT (LAPACK on CPU, an XLA custom
+    #    call on TPU whose f32 behavior on these near-degenerate planar
+    #    covariances differs) — identified as the residual cause of the
+    #    2.45% TPU vs 1.48% CPU rendered-drive gap (VERDICT r3);
+    #  - the closed-form eigh3_sym was tried and measured WORSE on-chip
+    #    (2.45% → 6.95%, commit 3c14b08): ground covariances have ~1e7
+    #    eigenvalue spread (tens-of-metres extent vs cm thickness) and the
+    #    trig λ_min cancels to O(1) relative error at f32 there;
+    #  - Jacobi is both deterministic across backends AND high-relative-
+    #    accuracy on (near-)SPD input: measured λ1 rel err 8e-8 / normal
+    #    angle err <1e-7 rad at f32 on 1.2e7-spread planar covariances
+    #    (property test in tests/test_lidar_depth.py::TestJacobiEigh3).
+    from ..utils.eig3 import smallest_eigvec3
+    evals, n = smallest_eigvec3(cov)
     n = n * jnp.sign(n[2] + 1e-12)          # orient up
     dist = -jnp.dot(n, c)
     return n, dist

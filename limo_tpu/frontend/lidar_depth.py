@@ -35,6 +35,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from ..utils.eig3 import smallest_eigvec3
 from ..utils.precision import highest_matmul
 import numpy as np
 
@@ -287,12 +288,29 @@ def eigh3_sym(A):
     oh = jax.nn.one_hot(jnp.argmax(norms, -1), 3, dtype=dtype)
     v = jnp.sum(cands * oh[..., None], -2)
     vn = jnp.linalg.norm(v, axis=-1, keepdims=True)
-    # degenerate fallbacks: repeated λ1 (cross products vanish) or an
-    # (almost) diagonal matrix → smallest-diagonal basis vector
+    # Degenerate fallbacks. Repeated λ1 (all row cross products vanish —
+    # A − λ1·I has rank ≤ 1): the eigenspace is the null plane of the
+    # largest surviving row r, which is NOT axis-aligned in general
+    # (cov ≈ λ·I + n·nᵀ with oblique n), so project a basis vector onto
+    # that null space — pick the basis axis LEAST aligned with r̂ so the
+    # projection never collapses (|proj|² = 1 − r̂ᵢ² ≥ 2/3). Fully
+    # diagonal-ish matrices keep the smallest-diagonal basis vector
+    # (advisor r3 finding; non-diagonal repeated-λ case in TestEigh3Sym).
+    rows = jnp.stack([r0, r1, r2], -2)                    # [...,3,3]
+    rnorm = jnp.linalg.norm(rows, axis=-1)
+    roh = jax.nn.one_hot(jnp.argmax(rnorm, -1), 3, dtype=dtype)
+    rbig = jnp.sum(rows * roh[..., None], -2)
+    rbn = jnp.linalg.norm(rbig, axis=-1, keepdims=True)
+    rhat = rbig / jnp.maximum(rbn, 1e-30)
+    e_min = jax.nn.one_hot(jnp.argmin(jnp.abs(rhat), -1), 3, dtype=dtype)
+    proj = e_min - jnp.sum(e_min * rhat, -1, keepdims=True) * rhat
+    pn = jnp.linalg.norm(proj, axis=-1, keepdims=True)
+    null_v = jnp.where(rbn > 1e-20, proj / jnp.maximum(pn, 1e-20), e_min)
     diag3 = jnp.stack([a00, a11, a22], -1)
     axis_v = jax.nn.one_hot(jnp.argmin(diag3, -1), 3, dtype=dtype)
-    bad = diagish[..., None] | (vn[..., 0] <= 1e-20)[..., None]
-    v = jnp.where(bad, axis_v, v / jnp.maximum(vn, 1e-20))
+    repeated = (vn[..., 0] <= 1e-20)[..., None] & ~diagish[..., None]
+    v = jnp.where(diagish[..., None], axis_v,
+                  jnp.where(repeated, null_v, v / jnp.maximum(vn, 1e-20)))
     evals = jnp.where(diagish[..., None], jnp.sort(diag3, -1), evals)
     return evals, v
 
@@ -310,8 +328,11 @@ def _pca_patch(pts, seg, ray, cfg: LidarDepthConfig):
     denom = jnp.maximum(n_seg, 1.0)[..., None]
     c = jnp.sum(pts * segf[..., None], -2) / denom
     dp = (pts - c[..., None, :]) * segf[..., None]
+    # backend-deterministic high-relative-accuracy Jacobi (utils/eig3.py);
+    # the trig eigh3_sym loses relative accuracy once the eigenvalue spread
+    # grows (see groundplane.fit_plane_lsq's history note)
     cov = jnp.einsum("...ki,...kj->...ij", dp, dp) / denom[..., None]
-    evals, n = eigh3_sym(cov)                    # ascending, unit n
+    evals, n = smallest_eigvec3(cov)             # ascending, unit n
     l1, l2, l3 = evals[..., 0], evals[..., 1], evals[..., 2]
     shape_ok = ((l3 >= cfg.pca_abs_min)
                 & (l3 <= cfg.pca_rel_32_max * jnp.maximum(l2, 1e-12))
@@ -445,7 +466,7 @@ def ground_patch_depths(cloud_cam, gp_inlier, uv_feat, plane_normal,
     c = jnp.sum(pts * w[..., None], -2) / wsum
     dp = (pts - c[:, None, :]) * w[..., None]
     cov = jnp.einsum("fki,fkj->fij", dp, pts - c[:, None, :])
-    _, n_loc = eigh3_sym(cov)
+    _, n_loc = smallest_eigvec3(cov)
     # orient like the global plane
     flip = jnp.sign(jnp.sum(n_loc * plane_normal, -1, keepdims=True) + 1e-12)
     n_loc = n_loc * flip

@@ -59,12 +59,23 @@ def select_keyframes(stamps, uvs, valid, quats,
     """Candidate-frame-SET selection — ``KeyframeSelector::select`` over a
     frame list (keyframe_selector.cpp:107-133), for burst ingest.
 
-    The reference tests every scheme against BOTH the already-selected
-    buffer and the frames accepted earlier in this batch (applyRejection/
-    applySelectionScheme's ``isUsable(frame, buffer) ... isUsable(frame,
-    selected_keyframes)``): rejection and sparsification must pass against
-    both sets, selection passes if either set demands the frame. Here that
-    is a ``lax.scan`` over candidates carrying the last accepted frame.
+    The reference runs THREE independent passes over the candidate list,
+    each with its OWN accumulator of frames accepted by that pass
+    (``applyRejectionScheme``/``applySelectionScheme``,
+    keyframe_selector.cpp:34-88): rejection accumulates every non-rejected
+    frame, selection accumulates selection-pass keeps, sparsification
+    accumulates sparsification-pass keeps; every scheme compares against
+    the newest-timestamp frame of the buffer AND of its pass accumulator
+    (usable vs both for rejection/sparsification, vs either for
+    selection). The final set is (selected ∨ sparsified) ∧ ¬rejected.
+    A single shared "last accepted" carry — the pre-r4 implementation —
+    lets a rotation-selected keep reset the sparsification time base,
+    which the reference's separate passes never do (advisor r3 finding);
+    here each pass carries its own reference state in one fused scan.
+
+    (``eraseRejected``'s per-pass-id key mismatch in the reference is a
+    bookkeeping bug, not intent — the intended per-frame combination
+    above is what the single-frame ``select_keyframe`` also implements.)
 
     stamps [F], uvs [F,R,2] (track-row-aligned across frames), valid [F,R],
     quats [F,4]; ``uv_last_kf``/``valid_last_kf``/``q_last_kf``/
@@ -72,39 +83,49 @@ def select_keyframes(stamps, uvs, valid, quats,
     ``has_last_kf`` whether one exists. Returns accepted [F] bool.
     """
     ks = cfg.keyframe_selection
-    big_neg = jnp.asarray(-1e30, stamps.dtype)
-
-    def decide(ts, uv, v, q, uv_ref, v_ref, q_ref, ts_ref):
-        flow, n = mean_flow(uv, uv_ref, v & v_ref)
-        rejected = (n > 0) & (flow < ks.min_median_flow)
-        selected = quat.qangle(q, q_ref) > ks.critical_quaternion_difference
-        sparsified = (ts - ts_ref) > ks.time_between_keyframes_sec
-        return rejected, selected, sparsified
 
     def step(carry, frame):
-        uv_s, v_s, q_s, ts_s, has_s = carry
+        (uv_r, v_r, has_r), (q_s, has_s), (ts_p, has_p) = carry
         ts, uv, v, q = frame
-        rej_b, sel_b, sp_b = decide(ts, uv, v, q, uv_last_kf,
-                                    valid_last_kf, q_last_kf,
-                                    jnp.where(has_last_kf, ts_last_kf,
-                                              big_neg))
-        rej_s, sel_s, sp_s = decide(ts, uv, v, q, uv_s, v_s, q_s,
-                                    jnp.where(has_s, ts_s, big_neg))
-        rej_b = rej_b & has_last_kf
-        rej_s = rej_s & has_s
-        rejected = rej_b | rej_s                 # usable vs BOTH sets
-        selected = (sel_b & has_last_kf) | (sel_s & has_s) \
-            | ((~has_last_kf) & (~has_s))        # very first frame: keep
-        sparsified = sp_b & sp_s                 # time gap vs BOTH sets
-        accept = (selected | sparsified) & (~rejected)
-        uv_s = jnp.where(accept, uv, uv_s)
-        v_s = jnp.where(accept, v, v_s)
-        q_s = jnp.where(accept, q, q_s)
-        ts_s = jnp.where(accept, ts, ts_s)
-        has_s = has_s | accept
-        return (uv_s, v_s, q_s, ts_s, has_s), accept
 
-    carry0 = (jnp.zeros_like(uvs[0]), jnp.zeros_like(valid[0]),
-              quat.qidentity(quats.dtype), big_neg, jnp.asarray(False))
+        # --- rejection pass (flow): usable vs buffer AND vs the newest
+        # non-rejected frame of this batch; empty set → usable -------------
+        flow_b, n_b = mean_flow(uv, uv_last_kf, v & valid_last_kf)
+        flow_r, n_r = mean_flow(uv, uv_r, v & v_r)
+        rej_b = has_last_kf & (n_b > 0) & (flow_b < ks.min_median_flow)
+        rej_r = has_r & (n_r > 0) & (flow_r < ks.min_median_flow)
+        rejected = rej_b | rej_r
+        keep_r = ~rejected
+        uv_r = jnp.where(keep_r, uv, uv_r)
+        v_r = jnp.where(keep_r, v, v_r)
+        has_r = has_r | keep_r
+
+        # --- selection pass (pose angle): usable vs EITHER set; empty
+        # set → not usable (scheme_pose.cpp:22-24). The very first frame
+        # (no buffer, empty accumulators) is accepted via sparsification.
+        sel_b = has_last_kf & (quat.qangle(q, q_last_kf)
+                               > ks.critical_quaternion_difference)
+        sel_s = has_s & (quat.qangle(q, q_s)
+                         > ks.critical_quaternion_difference)
+        selected = sel_b | sel_s
+        q_s = jnp.where(selected, q, q_s)
+        has_s = has_s | selected
+
+        # --- sparsification pass (time): usable vs buffer AND vs the
+        # newest sparsification-pass keep; empty set → usable -------------
+        sp_b = (~has_last_kf) | ((ts - ts_last_kf)
+                                 > ks.time_between_keyframes_sec)
+        sp_p = (~has_p) | ((ts - ts_p) > ks.time_between_keyframes_sec)
+        sparsified = sp_b & sp_p
+        ts_p = jnp.where(sparsified, ts, ts_p)
+        has_p = has_p | sparsified
+
+        accept = (selected | sparsified) & (~rejected)
+        return ((uv_r, v_r, has_r), (q_s, has_s), (ts_p, has_p)), accept
+
+    false = jnp.asarray(False)
+    carry0 = ((jnp.zeros_like(uvs[0]), jnp.zeros_like(valid[0]), false),
+              (quat.qidentity(quats.dtype), false),
+              (jnp.zeros_like(stamps[0]), false))
     _, accepted = jax.lax.scan(step, carry0, (stamps, uvs, valid, quats))
     return accepted

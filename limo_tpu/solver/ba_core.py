@@ -586,19 +586,29 @@ def _regularizer_system(window: Window, sel: Selection, cfg, speed_reg, pose_onl
     oh_s0 = jax.nn.one_hot(sel.scale_kf0, K, dtype=dtype)   # [K]
     oh_s1 = jax.nn.one_hot(sel.scale_kf1, K, dtype=dtype)
 
+    # One-hot selection is only EXACT at full precision: under the solver's
+    # global matmul level these dots lower to bf16 MXU passes on TPU, which
+    # round the selected pose translations (keyframe←origin, unbounded — no
+    # window rebase) and the near-cancelling plane-chain differences
+    # (n_k − n_{k+1} ~ 1e-3) BEFORE the subtraction. [K-1,K]×[K,7] dots —
+    # pinning them is free (advisor r3 finding).
+    def _pick(oh, x):
+        return jnp.einsum("...k,kj->...j", oh, x,
+                          precision=jax.lax.Precision.HIGHEST)
+
     def all_res(delta):
         dp = delta[:, :6]
         dpl = delta[:, 6:]
         poses = pose_ops.boxplus(window.poses, dp)
         planes = plane_boxplus(window.planes, dpl)
-        poses_a = oh_a @ poses       # exact row selection (rows are one-hot)
-        poses_b = oh_b @ poses
-        planes_a = oh_a @ planes
-        planes_b = oh_b @ planes
+        poses_a = _pick(oh_a, poses)  # exact row selection (rows are one-hot)
+        poses_b = _pick(oh_b, poses)
+        planes_a = _pick(oh_a, planes)
+        planes_b = _pick(oh_b, planes)
         parts = []
         # scale regularization
-        p0 = oh_s0 @ poses
-        p1 = oh_s1 @ poses
+        p0 = _pick(oh_s0, poses)
+        p1 = _pick(oh_s1, poses)
         r_scale, _ = res_k.pose_scale(p1, p0, sel.scale_target)
         parts.append(r_scale)
         # plane chains (time-ordered pairs)
@@ -616,7 +626,7 @@ def _regularizer_system(window: Window, sel: Selection, cfg, speed_reg, pose_onl
         if speed_reg is not None:
             kf_i, pob, vel, dt, _w = speed_reg
             oh_sp = jax.nn.one_hot(kf_i, K, dtype=dtype)
-            r_speed, _ = res_k.speed_vector(oh_sp @ poses, pob, vel, dt)
+            r_speed, _ = res_k.speed_vector(_pick(oh_sp, poses), pob, vel, dt)
             parts.append(r_speed)
         return jnp.concatenate(parts)
 

@@ -137,6 +137,11 @@ def _solve_normal_equations(eqs, lam, axis_name=None):
     # back-substitution (elementwise Vinv application; one matvec)
     wtdp = jnp.einsum("lpi,p->li", Wb[:, :P], delta_p)
     delta_l = _apply_vinv(Vinv, eqs.b_l - wtdp)
+    # a failed Cholesky must yield a FULLY zero candidate: with only delta_p
+    # zeroed, delta_l = V⁻¹ b_l is a landmark-only move from an indefinite
+    # system that can strictly decrease cost, get ACCEPTED, and drive λ down
+    # — the opposite of the trust-region response (advisor r3 finding)
+    delta_l = jnp.where(bad, jnp.zeros_like(delta_l), delta_l)
     delta_l = delta_l * eqs.lm_mask[:, None]
     return delta_p, delta_l
 

@@ -327,3 +327,92 @@ class TestEigh3Sym:
         res = np.einsum("nij,nj->ni", np.asarray(cases), np.asarray(v)) \
             - np.asarray(ev)[:, :1] * np.asarray(v)
         assert np.abs(res).max() < 1e-5
+
+    def test_repeated_smallest_oblique_eigenspace(self, rng):
+        """Repeated λ1 with a NON-axis-aligned eigenspace (cov ≈ λ·I + n·nᵀ,
+        n oblique): the degenerate fallback must return a vector in the null
+        plane of n, not an axis basis vector (advisor r3 finding). The tiny
+        1e-12 scaling underflows the row cross products below the vanish
+        threshold in f32, forcing the repeated-λ1 fallback branch."""
+        from limo_tpu.frontend.lidar_depth import eigh3_sym
+
+        ns = np.stack([[1.0, 2.0, 2.0], [2.0, -1.0, 2.0], [3.0, 4.0, 0.0],
+                       [1.0, 1.0, 1.0]])
+        A = (2.0 * np.eye(3)[None] + np.einsum("ni,nj->nij", ns, ns))
+        for scale in (1.0, 1e-12):   # 1e-12 (f32): exercises the fallback
+            As = (scale * A).astype(np.float32)
+            ev, v = jax.jit(eigh3_sym)(jnp.asarray(As))
+            v = np.asarray(v)
+            n_hat = ns / np.linalg.norm(ns, axis=-1, keepdims=True)
+            # eigenvector of the repeated smallest eigenvalue ⟂ n
+            assert np.abs(np.sum(v * n_hat, -1)).max() < 1e-3
+            np.testing.assert_allclose(np.linalg.norm(v, axis=-1), 1.0,
+                                       atol=1e-5)
+            # residual check at the repeated eigenvalue. Tolerance is loose
+            # relative to λmax: at a repeated root the trig λ1 passes
+            # through arccos near ±1 where its derivative blows up, so the
+            # f32 eigenVALUE carries ~1e-3·λmax error there — the
+            # eigenVECTOR (the plane normal the depth estimator consumes)
+            # is exact, which the ⟂-n assertion above pins tightly.
+            lam1 = np.asarray(ev)[:, 0]
+            res = np.einsum("nij,nj->ni", As, v) - (lam1[:, None] * v)
+            assert np.abs(res).max() < 5e-3 * scale, res
+
+
+class TestJacobiEigh3:
+    """Cyclic-Jacobi 3×3 eigensolver (utils/eig3.py) — the backend-
+    deterministic, high-relative-accuracy replacement for jnp.linalg.eigh
+    in the plane fits (VERDICT r3: TPU-vs-CPU eigh numerics were the
+    residual accuracy gap on the rendered drive)."""
+
+    def test_spd_matches_lapack_f64(self, rng):
+        from limo_tpu.utils.eig3 import jacobi_eigh3
+        M = rng.normal(size=(500, 3, 3))
+        A = (M @ M.transpose(0, 2, 1)).astype(np.float32)
+        ev, V = jax.jit(jacobi_eigh3)(jnp.asarray(A))
+        ev, V = np.asarray(ev), np.asarray(V)
+        evr, Vr = np.linalg.eigh(A.astype(np.float64))
+        np.testing.assert_allclose(ev, evr, rtol=2e-6,
+                                   atol=2e-6 * np.abs(evr).max())
+        # V columns orthonormal and diagonalizing
+        VtV = np.einsum("nij,nik->njk", V, V)
+        np.testing.assert_allclose(VtV, np.broadcast_to(np.eye(3), VtV.shape),
+                                   atol=5e-6)
+        D = np.einsum("nji,njk,nkl->nil", V, A, V)
+        offmax = np.abs(D - np.einsum("nii->ni", D)[:, :, None]
+                        * np.eye(3)).max()
+        assert offmax < 5e-6 * np.abs(evr).max(), offmax
+
+    def test_planar_high_relative_accuracy(self, rng):
+        """1e7-eigenvalue-spread planar covariances (the RANSAC ground-fit
+        regime that broke the trig closed form, commit 3c14b08): Jacobi at
+        f32 must keep RELATIVE λ1 accuracy and an exact normal."""
+        from limo_tpu.utils.eig3 import smallest_eigvec3
+        D = rng.normal(size=(500, 400, 3))
+        D[..., 0] *= 30.0
+        D[..., 1] *= 8.0
+        D[..., 2] *= 0.01
+        C = (np.einsum("nki,nkj->nij", D, D) / 400.0).astype(np.float32)
+        ev, v = jax.jit(smallest_eigvec3)(jnp.asarray(C))
+        ev, v = np.asarray(ev), np.asarray(v)
+        evr, Vr = np.linalg.eigh(C.astype(np.float64))
+        assert (evr[:, 2] / evr[:, 0]).max() > 1e6   # the regime is real
+        rel = np.abs(ev[:, 0] - evr[:, 0]) / evr[:, 0]
+        assert rel.max() < 1e-5, rel.max()           # measured ~8e-8
+        dots = np.abs(np.sum(v * Vr[..., 0], -1))
+        assert dots.min() > 1.0 - 1e-9, dots.min()   # normal exact at f32
+
+    def test_degenerate_inputs(self):
+        from limo_tpu.utils.eig3 import jacobi_eigh3
+        cases = jnp.stack([
+            jnp.eye(3), jnp.zeros((3, 3)),
+            jnp.diag(jnp.array([2.0, 2.0, 5.0])),
+            jnp.diag(jnp.array([3.0, 1.0, 2.0])),
+        ])
+        ev, V = jax.jit(jacobi_eigh3)(cases)
+        ev, V = np.asarray(ev), np.asarray(V)
+        assert np.isfinite(ev).all() and np.isfinite(V).all()
+        np.testing.assert_allclose(ev[3], [1.0, 2.0, 3.0], atol=1e-7)
+        np.testing.assert_allclose(
+            np.einsum("nij,nik->njk", V, V),
+            np.broadcast_to(np.eye(3), (4, 3, 3)), atol=1e-6)
