@@ -156,6 +156,18 @@ class PriorConfig:
     ransac_thres_px: float = 1.0
     min_flow_px: float = 3.0         # below: assume standstill, identity motion
     num_hypotheses: int = 256        # batched RANSAC hypothesis count
+    # ---- compiled scan-path prior (VERDICT r3 item 3) -------------------
+    # "essential": a fresh per-frame 5-point prior vs the last keyframe
+    # INSIDE the scan step — the reference's behavior (fresh 5-point every
+    # frame, general_helpers.hpp:103-140, mono_lidar.cpp:155-187), which
+    # also makes RotRocc safe on the scan path (the r3 divergence was the
+    # constant-velocity prior starting outside the RotRocc basin).
+    # "constant_velocity": the r1-r3 motion-model prior.
+    scan_prior_mode: str = "essential"
+    # smaller hypothesis budget inside the compiled scan step (every frame
+    # pays it; track-tensor correspondences are pre-matched so the inlier
+    # ratio is far higher than raw OpenCV matches)
+    scan_num_hypotheses: int = 64
 
 
 @dataclass(frozen=True)

@@ -208,13 +208,21 @@ def _five_point_one(x0s, x1s, dtype):
     zg = jnp.asarray(_ZGRID, dtype)
     lo, hi = zg[idx], zg[idx + 1]
     flo = _cheb_eval(coefs, lo / _ZMAX)
-    for _ in range(45):
+
+    # rolled bisection (lax.fori_loop, not an unrolled Python loop): this
+    # runs inside the compiled scan step when the per-frame 5-point prior
+    # is on, and 45 unrolled Clenshaw evaluations per hypothesis inflate
+    # the scan program's generated code (the ~75 MiB device fault budget,
+    # docs/WIDE_VMAP_FAULT.md)
+    def _bisect(_, carry):
+        lo, hi, flo = carry
         mid = 0.5 * (lo + hi)
         fm = _cheb_eval(coefs, mid / _ZMAX)
         left = flo * fm <= 0
-        hi = jnp.where(left, mid, hi)
-        lo = jnp.where(left, lo, mid)
-        flo = jnp.where(left, flo, fm)
+        return (jnp.where(left, lo, mid), jnp.where(left, mid, hi),
+                jnp.where(left, flo, fm))
+
+    lo, hi, flo = jax.lax.fori_loop(0, 45, _bisect, (lo, hi, flo))
     roots = 0.5 * (lo + hi)                              # [10]
 
     # back-substitute (x, y): least-squares null vector of M(z_root) with

@@ -63,6 +63,11 @@ class ScanState(NamedTuple):
     last_kf_uv: jnp.ndarray     # [L,2] pixels at the last keyframe
     last_kf_uv_valid: jnp.ndarray  # [L]
     last_solve_stamp: jnp.ndarray
+    speed: jnp.ndarray          # scalar m/s from the last two keyframes —
+                                # scales the 5-point unit translation
+                                # (mono_lidar.cpp:168-185; default 13 m/s
+                                # before two keyframes exist,
+                                # general_helpers.hpp:215)
 
 
 class FrameOut(NamedTuple):
@@ -72,7 +77,8 @@ class FrameOut(NamedTuple):
     cost: jnp.ndarray           # BA cost after the frame (0 when no solve)
 
 
-def init_state(cap, dtype=jnp.float32) -> ScanState:
+def init_state(cap, dtype=jnp.float32, default_speed: float = 13.0
+               ) -> ScanState:
     w = empty_window(cap, dtype)
     L = w.L
     p0 = pose_ops.identity(dtype)
@@ -89,6 +95,7 @@ def init_state(cap, dtype=jnp.float32) -> ScanState:
         last_kf_uv=jnp.zeros((L, 2), dtype),
         last_kf_uv_valid=jnp.zeros((L,), bool),
         last_solve_stamp=jnp.asarray(-1e9, w.stamps.dtype),
+        speed=jnp.asarray(default_speed, dtype),
     )
 
 
@@ -229,7 +236,7 @@ def _push_keyframe(window: Window, slot, stamp, pose, uvd, valid, plane,
 
 
 def make_scan_step(rig, cfg, solve_budget: Optional[int] = None,
-                   prior_mode: str = "constant_velocity",
+                   prior_mode: Optional[str] = None,
                    outlier_labels=DEFAULT_OUTLIER_LABELS,
                    shrubbery_labels=DEFAULT_SHRUBBERY_LABELS,
                    ground_labels=DEFAULT_GROUND_LABELS):
@@ -240,8 +247,16 @@ def make_scan_step(rig, cfg, solve_budget: Optional[int] = None,
     plane [4], plane_ok, ext_prior [7], ext_prior_ok)``,
     jit/scan/vmap-ready. Use :func:`frame_arrays` to build the per-frame
     channels with reference defaults.
+
+    prior_mode: "essential" (default via cfg.prior.scan_prior_mode — a
+    fresh per-frame 5-point essential prior vs the last keyframe, computed
+    INSIDE the compiled step from the per-slot track rows; the reference's
+    per-frame calcMotion5Point, general_helpers.hpp:103-140),
+    "constant_velocity" (the motion-model prior), or "identity".
     """
     del solve_budget  # trim budgets come from cfg (solver/robust sections)
+    if prior_mode is None:
+        prior_mode = getattr(cfg.prior, "scan_prior_mode", "constant_velocity")
     wcfg = cfg.window
     out_tab = jnp.asarray(sorted(outlier_labels), jnp.int32)
     shrub_tab = jnp.asarray(sorted(shrubbery_labels), jnp.int32)
@@ -253,10 +268,10 @@ def make_scan_step(rig, cfg, solve_budget: Optional[int] = None,
         dtype = st.cur_pose.dtype
         uvd = uvd.astype(dtype)
 
-        # ---- 1. prior (constant velocity; mono_lidar.cpp:155-187);
-        # an external prior (tf odometry / host 5-point, mono_lidar.cpp:
-        # 119-150) overrides the motion model when provided ----------------
-        if prior_mode == "constant_velocity":
+        # ---- 1. prior (mono_lidar.cpp:155-187); an external prior
+        # (tf odometry / host 5-point, mono_lidar.cpp:119-150) overrides
+        # the internal estimate when provided ------------------------------
+        if prior_mode in ("constant_velocity", "essential"):
             # plausibility clamp: a glitched frame must not teleport the
             # prior out of the solver's basin (reference analogue: the
             # prior_speed-scaled 5-point translation, general_helpers.hpp:
@@ -271,6 +286,35 @@ def make_scan_step(rig, cfg, solve_budget: Optional[int] = None,
             prior = pose_ops.normalize(pose_ops.compose(vel, st.cur_pose))
         else:  # "identity" — no motion model
             prior = st.cur_pose
+        if prior_mode == "essential":
+            # fresh per-frame 5-point vs the last keyframe, from the
+            # per-slot track rows (both-valid mask = the reference's
+            # getMatches at two stamps, general_helpers.hpp:44-76), unit
+            # translation scaled by speed·Δt (getMotionUnscaled :209-231).
+            # Falls back to the constant-velocity prior when RANSAC fails
+            # (the reference falls back to identity motion :111-124; the
+            # motion model is the scan path's strictly better equivalent).
+            from ..frontend.essential import (estimate_essential,
+                                              motion_prior_unscaled)
+            pc = cfg.prior
+            res = estimate_essential(
+                st.last_kf_uv, uvd[:, :2], valid & st.last_kf_uv_valid,
+                rig.focal[0].astype(dtype), rig.principal[0].astype(dtype),
+                num_hypotheses=getattr(pc, "scan_num_hypotheses", 64),
+                thres_px=pc.ransac_thres_px, min_flow_px=pc.min_flow_px)
+            dt_kf = jnp.maximum((stamp - st.last_kf_stamp).astype(dtype),
+                                1e-3)
+            # plausibility clamp on the translation magnitude (same bound
+            # as the CV prior above): after a standstill stretch the last
+            # keyframe is several seconds old and the cached speed is
+            # stale — speed·Δt would teleport the prior out of the
+            # solver's basin on the resume frame
+            speed_eff = jnp.minimum(st.speed, 5.0 / dt_kf)
+            delta = motion_prior_unscaled(
+                res, rig.T_cam_veh[0].astype(dtype), speed_eff, dt_kf)
+            ess = pose_ops.normalize(
+                pose_ops.compose(delta, st.last_kf_pose))
+            prior = jnp.where(res.ok, ess, prior)
         prior = jnp.where(st.n_kf > 0, prior, pose_ops.identity(dtype))
         prior = jnp.where(ext_prior_ok, ext_prior.astype(dtype), prior)
 
@@ -355,6 +399,15 @@ def make_scan_step(rig, cfg, solve_budget: Optional[int] = None,
                         pose_ops.normalize(
                             pose_ops.relative(refined, st.cur_pose)),
                         pose_ops.identity(dtype))
+        # speed from the last two keyframes (mono_lidar.cpp:168-185) —
+        # refreshed at each accepted keyframe, used to scale the next
+        # frames' 5-point unit translations
+        kf_dt = (stamp - st.last_kf_stamp).astype(dtype)
+        sp_new = jnp.linalg.norm(
+            pose_ops.relative(out_pose, st.last_kf_pose)[4:]) \
+            / jnp.maximum(kf_dt, 1e-3)
+        speed = jnp.where(take_kf & (st.n_kf > 0) & (kf_dt > 1e-6),
+                          sp_new, st.speed)
         st2 = ScanState(
             window=window,
             lm_outlier=lm_outlier,
@@ -368,6 +421,7 @@ def make_scan_step(rig, cfg, solve_budget: Optional[int] = None,
             last_kf_uv=jnp.where(take_kf, uvd[:, :2], st.last_kf_uv),
             last_kf_uv_valid=jnp.where(take_kf, valid, st.last_kf_uv_valid),
             last_solve_stamp=jnp.where(do_solve, stamp, st.last_solve_stamp),
+            speed=speed,
         )
         return st2, FrameOut(pose=out_pose, is_keyframe=take_kf,
                              solved=do_solve, cost=cost)
@@ -427,7 +481,7 @@ def run_sequence(stamps, uvd_seq, valid_seq, rig, cfg, priors=None,
     [F,4] per-frame groundplane estimates in the vehicle frame.
     Returns (final ScanState, FrameOut with frame axis).
     """
-    st = init_state(cfg.capacity, dtype)
+    st = init_state(cfg.capacity, dtype, cfg.prior.default_speed)
     step = make_scan_step(rig, cfg)
     run = jax.jit(lambda st, xs: jax.lax.scan(step, st, xs))
     xs = frame_arrays(stamps, uvd_seq, valid_seq, cfg, dtype, labels,
@@ -442,7 +496,7 @@ def _batched_run(stamps_b, uvd_b, valid_b, rig, cfg, priors_b,
     """Shared assembly for run_batch/run_fleet: (vmapped runner, args)."""
     B, F = stamps_b.shape[0], stamps_b.shape[1]
     L = np.asarray(uvd_b).shape[2]
-    st = init_state(cfg.capacity, dtype)
+    st = init_state(cfg.capacity, dtype, cfg.prior.default_speed)
     st_b = jax.tree_util.tree_map(lambda x: jnp.stack([x] * B), st)
     step = make_scan_step(rig, cfg)
 
@@ -596,7 +650,7 @@ def run_tuning_grid(stamps, uvd_seq, valid_seq, rig, cfg, grid,
     """
     grid = np.asarray(grid, np.float64)
     G = grid.shape[0]
-    st = init_state(cfg.capacity, dtype)
+    st = init_state(cfg.capacity, dtype, cfg.prior.default_speed)
     run = make_tuning_runner(rig, cfg)
     data = frame_arrays(stamps, uvd_seq, valid_seq, cfg, dtype, labels,
                         outlier_flags, planes, planes_ok,
