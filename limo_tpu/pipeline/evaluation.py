@@ -45,37 +45,74 @@ def evaluate_kitti_sequence(seq_dir: str, out_poses: str,
                             gt_poses: Optional[str] = None,
                             max_frames: Optional[int] = None,
                             cfg: Optional[LimoPipelineConfig] = None,
-                            drift_kw: Optional[Dict] = None
+                            drift_kw: Optional[Dict] = None,
+                            engine: str = "host",
+                            chunk: Optional[int] = 64,
+                            repeat: int = 1
                             ) -> SequenceReport:
     """Run the full pipeline on a KITTI odometry sequence directory and dump
-    the trajectory in KITTI format (reference dump: mono_lidar.cpp:275-300)."""
+    the trajectory in KITTI format (reference dump: mono_lidar.cpp:275-300).
+
+    engine="host": the per-frame host-driven :class:`LimoPipeline` (the
+    reference's online node shape — one callback per frame).
+    engine="fused": the device-resident scan program
+    (:mod:`limo_tpu.pipeline.fused`) — images+clouds upload per ``chunk``
+    frames, O(1) dispatches per chunk, fps measured over device execution
+    (``repeat`` > 1 re-runs in-process to report warm throughput on
+    backends that cannot cache executables)."""
     seq = kitti.KittiSequence.open(seq_dir, gt_poses)
     calib = seq.calib
     # camera extrinsics: vehicle frame = cam0 frame ⇒ identity; velodyne →
     # cam via Tr (KITTI convention)
     rig = CameraRig.single(calib.focal, calib.principal[0], calib.principal[1])
-    pipe = LimoPipeline(rig, cfg)
     n = len(seq) if max_frames is None else min(max_frames, len(seq))
     Tr = calib.Tr_cam_velo
 
     with_labels = seq.has_labels
 
-    def load(i):
-        img = seq.load_image(i)
-        velo = seq.load_velodyne(i)
-        # velodyne → cam0 (= vehicle) frame
-        cloud = (velo[:, :3] @ Tr[:3, :3].T) + Tr[:3, 3]
-        if with_labels:
-            # semantic label images drive the outlier/shrubbery/ground path
-            # (reference: semantic_labels nodelet, kitti_standalone.launch)
-            return seq.times[i], img, cloud, seq.load_labels(i)
-        return seq.times[i], img, cloud
+    if engine == "fused":
+        from . import fused as fu
 
-    from .executor import run_pipelined
-    t0 = time.time()
-    run_pipelined(pipe, range(n), load)
-    dt = time.time() - t0
-    est = pipe.poses_kitti()
+        if cfg is None:
+            from ..frontend.lidar_depth import LidarDepthConfig
+            from ..frontend.tracker import TrackerConfig
+            cfg = LimoPipelineConfig(limo=LimoConfig(),
+                                     tracker=TrackerConfig(),
+                                     lidar=LidarDepthConfig())
+        imgs = np.stack([(seq.load_image(i) * 255.0).astype(np.uint8)
+                         for i in range(n)])
+        clouds = [(seq.load_velodyne(i)[:, :3] @ Tr[:3, :3].T) + Tr[:3, 3]
+                  for i in range(n)]
+        labels = (np.stack([seq.load_labels(i) for i in range(n)])
+                  if with_labels else None)
+        dt = float("inf")
+        for _ in range(max(repeat, 1)):
+            t0 = time.time()
+            _, out = fu.run_fused(seq.times[:n], imgs, clouds, rig,
+                                  cfg.limo, cfg, label_images=labels,
+                                  chunk=chunk)
+            dt = min(dt, time.time() - t0)   # warm = best in-process run
+        est = fu.poses_kitti(out)
+    else:
+        pipe = LimoPipeline(rig, cfg)
+
+        def load(i):
+            img = seq.load_image(i)
+            velo = seq.load_velodyne(i)
+            # velodyne → cam0 (= vehicle) frame
+            cloud = (velo[:, :3] @ Tr[:3, :3].T) + Tr[:3, 3]
+            if with_labels:
+                # semantic label images drive the outlier/shrubbery/ground
+                # path (reference: semantic_labels nodelet,
+                # kitti_standalone.launch)
+                return seq.times[i], img, cloud, seq.load_labels(i)
+            return seq.times[i], img, cloud
+
+        from .executor import run_pipelined
+        t0 = time.time()
+        run_pipelined(pipe, range(n), load)
+        dt = time.time() - t0
+        est = pipe.poses_kitti()
     kitti.write_poses(out_poses, est)
     ate = float("nan")
     drift = {"t_err_percent": float("nan"), "r_err_deg_per_m": float("nan"),
@@ -337,6 +374,11 @@ def main():  # pragma: no cover — manual entry
     p.add_argument("--gt", help="ground-truth poses file")
     p.add_argument("--out", default="/tmp/poses_out.txt")
     p.add_argument("--frames", type=int, default=None)
+    p.add_argument("--engine", default="host", choices=["host", "fused"],
+                   help="host: per-frame driver; fused: the device-resident "
+                        "images+clouds scan program (pipeline/fused.py)")
+    p.add_argument("--chunk", type=int, default=64,
+                   help="frames per device dispatch in --engine fused")
     p.add_argument("--fleet", type=int, default=0,
                    help="run N synthetic sequences as one sharded fleet")
     p.add_argument("--longdrive", type=int, default=0,
@@ -380,7 +422,9 @@ def main():  # pragma: no cover — manual entry
                                             out_dir=fleet_out_dir()):
             print(rep.to_json())
     elif args.seq:
-        rep = evaluate_kitti_sequence(args.seq, args.out, args.gt, args.frames)
+        rep = evaluate_kitti_sequence(args.seq, args.out, args.gt,
+                                      args.frames, engine=args.engine,
+                                      chunk=args.chunk, repeat=args.repeat)
         print(rep.to_json())
     else:
         rep = evaluate_synthetic_sequence(out_poses=args.out)

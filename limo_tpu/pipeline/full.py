@@ -43,22 +43,24 @@ def _gamma_u8_device(img_u8, gamma: float):
     return (img_u8.astype(jnp.float32) / 255.0) ** (1.0 / gamma)
 
 
-@partial(jax.jit,
-         static_argnames=("image_size", "lidar_cfg", "use_gp", "gp_band"))
 @highest_matmul
-def _frontend_depth(cloud_veh, cloud_valid, Tcv7, uv, f, pp,
-                    image_size, lidar_cfg, use_gp, gp_band):
-    """The whole lidar front end as ONE program: vehicle→cam transform,
-    RANSAC groundplane, per-feature object depth, M-estimator ground-patch
-    fill for road features. One dispatch + one fetch per frame (the staged
-    eager version paid ~10 host↔device round trips; measured 320 ms/frame
-    over a remote TPU link vs ~60 ms fused)."""
+def frontend_depth_plane(cloud_veh, cloud_valid, Tcv7, uv, f, pp,
+                         image_size, lidar_cfg, use_gp, gp_band):
+    """The whole lidar front end as ONE traceable block: vehicle→cam
+    transform, RANSAC groundplane, per-feature object depth, M-estimator
+    ground-patch fill for road features. Returns
+    (depths [F], plane_veh [4] = (n, d) in the VEHICLE frame, plane_ok) —
+    the plane feeds the scan step's groundplane channel in the fused
+    device pipeline (:mod:`limo_tpu.pipeline.fused`)."""
     from ..geometry import quaternion as quat
 
+    dtype = cloud_veh.dtype
     cloud_cam = pose_ops.apply(Tcv7, cloud_veh)
     res = estimate_depths(cloud_cam, cloud_valid, uv, f, pp,
                           image_size, lidar_cfg)
     d = res.depth
+    plane = jnp.asarray([0.0, 0.0, 1.0, 0.0], dtype)
+    plane_ok = jnp.asarray(False)
     if use_gp:
         gp = estimate_groundplane(cloud_veh, cloud_valid, z_band=gp_band)
         # plane vehicle→cam: n_cam = R n_veh; d_cam = d_veh − n_cam·t
@@ -67,10 +69,24 @@ def _frontend_depth(cloud_veh, cloud_valid, Tcv7, uv, f, pp,
         gpd, gok = ground_patch_depths(cloud_cam, gp.inliers, uv, n_cam,
                                        d_cam, f, pp, image_size, lidar_cfg)
         d = jnp.where(gp.ok & gok & (d < 0), gpd, d)
+        plane = jnp.concatenate([gp.normal, gp.distance[None]])
+        plane_ok = gp.ok
+    return d, plane, plane_ok
+
+
+@partial(jax.jit,
+         static_argnames=("image_size", "lidar_cfg", "use_gp", "gp_band"))
+def _frontend_depth(cloud_veh, cloud_valid, Tcv7, uv, f, pp,
+                    image_size, lidar_cfg, use_gp, gp_band):
+    """One dispatch + one fetch per frame for the host-driven pipeline (the
+    staged eager version paid ~10 host↔device round trips; measured
+    320 ms/frame over a remote TPU link vs ~60 ms fused)."""
+    d, _, _ = frontend_depth_plane(cloud_veh, cloud_valid, Tcv7, uv, f, pp,
+                                   image_size, lidar_cfg, use_gp, gp_band)
     return d
 
 
-@dataclass
+@dataclass(frozen=True)
 class LimoPipelineConfig:
     limo: LimoConfig
     tracker: TrackerConfig
