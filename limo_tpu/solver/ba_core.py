@@ -354,29 +354,44 @@ def assemble(window: Window, sel: Selection, rig, cfg,
             window, sel, rig, cfg, compensate_rotation, with_jacobians=True)
 
         # ---- reduce into blocks (contractions over the obs axes) ---------
+        # Pinned to full-f32: these J^T W J contractions ARE the normal
+        # equations — at the global "default" level they lower to bf16 MXU
+        # passes whose ~0.4% entry error measurably degrades LM step
+        # quality on real-tracker data (r4 on-chip fused-drive ladder:
+        # einsum-default 2.26% vs einsum-highest 1.40% drift; CPU 1.11%).
+        # The production TPU path assembles these blocks in the exact-f32
+        # Pallas kernel, so this pin prices only the fallback.
+        hi = jax.lax.Precision.HIGHEST
         Jp_w = Jp_obs * row_w[..., None]     # [L,K,C,3,6] rows scaled by w
-        U_k = jnp.einsum("lkcri,lkcrj->kij", Jp_w, Jp_obs)
-        b_pose_k = -jnp.einsum("lkcri,lkcr->ki", Jp_w, r_obs)
+        U_k = jnp.einsum("lkcri,lkcrj->kij", Jp_w, Jp_obs, precision=hi)
+        b_pose_k = -jnp.einsum("lkcri,lkcr->ki", Jp_w, r_obs, precision=hi)
         Jl_w = Jl_obs * row_w[..., None]
-        V = jnp.einsum("lkcri,lkcrj->lij", Jl_w, Jl_obs)
-        b_l = -jnp.einsum("lkcri,lkcr->li", Jl_w, r_obs)
-        W_lk6 = jnp.einsum("lkcri,lkcrj->lkij", Jp_w, Jl_obs)   # [L,K,6,3]
+        V = jnp.einsum("lkcri,lkcrj->lij", Jl_w, Jl_obs, precision=hi)
+        b_l = -jnp.einsum("lkcri,lkcr->li", Jl_w, r_obs, precision=hi)
+        W_lk6 = jnp.einsum("lkcri,lkcrj->lkij", Jp_w, Jl_obs,
+                           precision=hi)                    # [L,K,6,3]
 
     # ---- groundplane height residuals (one per gp landmark) ------------
     r_gp, w_gp, gp_on, gp_cost, Jgp_kp, Jgp_lm = _gp_system(
         window, sel, cfg, with_jacobians=True)
     cost = cost + gp_cost
     # one-hot over the attached keyframe turns every gp "scatter" into a
-    # small matmul (K = 20 — MXU-friendly, no TPU scatter serialization)
+    # small matmul (K = 20 — MXU-friendly, no TPU scatter serialization);
+    # full-f32 pins: the scale information rides these gp blocks, and the
+    # Pallas production path still runs THESE einsums (the kernel covers
+    # observation blocks only)
+    hi_gp = jax.lax.Precision.HIGHEST
     gp_oh = jax.nn.one_hot(sel.gp_kf, K, dtype=dtype)        # [L,K]
-    U_gp = jnp.einsum("lk,l,li,lj->kij", gp_oh, w_gp, Jgp_kp, Jgp_kp)
-    b_gp_k = -jnp.einsum("lk,l,li->ki", gp_oh, w_gp * r_gp, Jgp_kp)
+    U_gp = jnp.einsum("lk,l,li,lj->kij", gp_oh, w_gp, Jgp_kp, Jgp_kp,
+                      precision=hi_gp)
+    b_gp_k = -jnp.einsum("lk,l,li->ki", gp_oh, w_gp * r_gp, Jgp_kp,
+                         precision=hi_gp)
     V = V + w_gp[:, None, None] * Jgp_lm[:, :, None] * Jgp_lm[:, None, :]
     b_l = b_l - (w_gp * r_gp)[:, None] * Jgp_lm
     # gp cross blocks in BLOCK form: pose part routes to the attached
     # keyframe's 6 pose dims; plane part is one [4,3] block per landmark
     W6 = W_lk6 + jnp.einsum("lk,l,li,lj->lkij", gp_oh, w_gp,
-                            Jgp_kp[:, :6], Jgp_lm)
+                            Jgp_kp[:, :6], Jgp_lm, precision=hi_gp)
     Wp = w_gp[:, None, None] * Jgp_kp[:, 6:, None] * Jgp_lm[:, None, :]
 
     # ---- assemble dense H_pp [P,P] (block-diagonal embed, no scatter) ----
@@ -398,9 +413,13 @@ def assemble(window: Window, sel: Selection, rig, cfg,
 
     # ---- regularization residuals (dense over pose+plane params) -------
     reg_r, reg_w, reg_J = _regularizer_system(window, sel, cfg, speed_reg, pose_only)
-    # reg_r [R], reg_w [R], reg_J [R,P]
-    H_pp = H_pp + jnp.einsum("r,ri,rj->ij", reg_w, reg_J, reg_J)
-    b_p = b_p - jnp.einsum("r,ri,r->i", reg_w, reg_J, reg_r)
+    # reg_r [R], reg_w [R], reg_J [R,P]; full-f32 pins (tiny dots, and the
+    # scale/plane regularizers are cancellation-prone — advisor r3)
+    hi_rg = jax.lax.Precision.HIGHEST
+    H_pp = H_pp + jnp.einsum("r,ri,rj->ij", reg_w, reg_J, reg_J,
+                             precision=hi_rg)
+    b_p = b_p - jnp.einsum("r,ri,r->i", reg_w, reg_J, reg_r,
+                           precision=hi_rg)
     cost = cost + 0.5 * jnp.sum(reg_w * reg_r * reg_r)
 
     # ---- alternate motion parameterization (tangent-basis projection) ---
