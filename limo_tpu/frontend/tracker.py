@@ -192,20 +192,44 @@ def _masked_median(x, mask):
 
 @partial(jax.jit, static_argnames=("cfg",))
 def match(cur: Features, prev: Features,
-          cfg: TrackerConfig = TrackerConfig()) -> MatchResult:
+          cfg: TrackerConfig = TrackerConfig(),
+          pred_uv=None, pred_known=None) -> MatchResult:
     """Mutual-NN descriptor matching gated by radius + flow consistency.
 
     Similarity = NCC (descriptor dot product — one MXU matmul). Returns for
     each current feature the index of its previous-frame match or -1.
+
+    pred_uv [N,2]: predicted CURRENT-frame positions of the previous
+    features (guided matching — the fused pipeline uses per-track
+    flow-constancy prediction). The locality prior biases candidates
+    toward the predicted flow instead of zero flow: at highway speeds the
+    per-frame flow reaches 80-150 px and a zero-centred prior
+    systematically prefers small-flow FALSE matches on self-similar ground
+    texture (measured: 19.7% drift at 14 m/s vs 0.9% at 8 m/s before the
+    fix). pred_known [N] marks previous features whose prediction is
+    informed (an established track): unknown-prediction features get a 4×
+    wider locality sigma and no flow gate — a fresh feature must be able
+    to START a track on descriptor evidence alone, otherwise a prediction
+    glitch starves matching and the tracker cannot recover (the failure
+    mode of odometry-coupled prediction: bad pose → bad predictions → no
+    matches → worse pose). Defaults: unguided zero-flow prior + global
+    median-flow gate (the reference-viso2-like host path).
     """
+    guided = pred_uv is not None
+    if pred_uv is None:
+        pred_uv = prev.uv
+    if pred_known is None:
+        pred_known = jnp.ones(prev.uv.shape[:1], bool)
     sim = cur.desc @ prev.desc.T                                  # [N,N]
-    d2 = jnp.sum((cur.uv[:, None] - prev.uv[None]) ** 2, -1)
+    d2 = jnp.sum((cur.uv[:, None] - pred_uv[None]) ** 2, -1)
     ok = (cur.valid[:, None] & prev.valid[None]
           & (d2 <= cfg.match_radius ** 2))
     # locality prior: repetitive texture (identical-looking features) ties
     # the descriptor similarity; bias near-equal candidates toward the
-    # smallest motion so argmax stays stable under parallax
-    sim_adj = jnp.where(ok, sim - d2 / (2.0 * cfg.locality_sigma ** 2), -2.0)
+    # predicted motion so argmax stays stable under parallax
+    sigma = jnp.where(pred_known, cfg.locality_sigma,
+                      4.0 * cfg.locality_sigma)                   # [N] prev
+    sim_adj = jnp.where(ok, sim - d2 / (2.0 * sigma[None, :] ** 2), -2.0)
     best_prev = jnp.argmax(sim_adj, 1)                            # cur → prev
     best_cur = jnp.argmax(sim_adj, 0)                             # prev → cur
     n = cur.uv.shape[0]
@@ -214,15 +238,45 @@ def match(cur: Features, prev: Features,
                                 best_prev[:, None], 1)[:, 0]
     good = mutual & (score > 0.5) & cur.valid
 
-    # flow-consistency gate: deviation from the (masked) median flow bounded
-    # by a wide multiple of outlier_flow_tolerance (viso gates per spatial
-    # bucket; the global gate keeps rotation-induced spread while killing
-    # gross mismatches)
+    # Flow-consistency gate, per mode (all variants measured on rendered
+    # drives — see docs/PERF.md matcher study):
+    #  - unguided (host path): the viso-like GLOBAL median gate — at the
+    #    moderate speeds the host driver serves it is the strictest junk
+    #    filter (known-good 1.48% on the 200-frame gate; the local gate
+    #    here measured 2.46%);
+    #  - guided (fused path): LOCAL neighbourhood gate — the radial flow
+    #    field of forward motion carries ~10x legitimate spread, and the
+    #    global median amputates exactly the near, translation-carrying
+    #    features (19.7% drift at 14 m/s). Neighbourhoods are tight in v
+    #    (image row ≈ inverse ground depth — the field's steep gradient
+    #    is vertical), looser in u; two iterations so gross outliers do
+    #    not poison the field estimate. NO gate at all is not an option:
+    #    one locally-inconsistent aliased burst teleported the
+    #    motion-only pose by 534 m. The reference's viso2 contract gates
+    #    flow PER SPATIAL BUCKET too (match_binsize /
+    #    outlier_flow_tolerance, res/config_feature_matching.yaml:13-16).
     flow = cur.uv - prev.uv[best_prev]
-    med = jnp.stack([_masked_median(flow[:, 0], good),
-                     _masked_median(flow[:, 1], good)])
-    dev = jnp.linalg.norm(flow - med, axis=-1)
-    good = good & (dev < 8.0 * cfg.outlier_flow_tolerance)
+    tol = 8.0 * cfg.outlier_flow_tolerance
+    if guided:
+        du2 = (cur.uv[:, None, 0] - cur.uv[None, :, 0]) ** 2
+        dv2 = (cur.uv[:, None, 1] - cur.uv[None, :, 1]) ** 2
+        w_loc = jnp.exp(-du2 / (2.0 * 120.0 ** 2)
+                        - dv2 / (2.0 * 40.0 ** 2))
+        ok_gate = good
+        for _ in range(2):
+            w = w_loc * ok_gate[None, :]
+            wsum = jnp.sum(w, -1, keepdims=True)
+            mean_flow = (w @ flow) / jnp.maximum(wsum, 1e-6)
+            dev = jnp.linalg.norm(flow - mean_flow, axis=-1)
+            ok_gate = good & (dev < tol
+                              + 0.5 * jnp.linalg.norm(mean_flow, axis=-1))
+        # no gated neighbours at all (bootstrap): keep descriptor matches
+        good = jnp.where(jnp.any(ok_gate), ok_gate, good)
+    else:
+        med = jnp.stack([_masked_median(flow[:, 0], good),
+                         _masked_median(flow[:, 1], good)])
+        dev = jnp.linalg.norm(flow - med, axis=-1)
+        good = good & (dev < tol)
 
     prev_index = jnp.where(good, best_prev, -1)
     return MatchResult(prev_index=prev_index.astype(jnp.int32),

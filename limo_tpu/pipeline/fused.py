@@ -51,6 +51,8 @@ import numpy as np
 
 from ..config import LimoConfig
 from ..frontend import tracker as trk
+from ..geometry import pose as pose_ops
+from ..geometry.camera import backproject
 from ..frontend.semantics import dilate_labels, sample_labels
 from ..window_manager import DEFAULT_OUTLIER_LABELS
 from . import scan_odometry as so
@@ -63,6 +65,15 @@ class FusedState(NamedTuple):
     prev_desc: jnp.ndarray      # [N,D]
     prev_valid: jnp.ndarray     # [N]
     slot_of_feat: jnp.ndarray   # [N] int32 landmark slot per feature (-1)
+    prev_depth: jnp.ndarray     # [N] lidar depth of the previous features
+                                # (-1 none) — geometry-anchored match
+                                # prediction (vehicle motion × depth)
+    prev_matches: jnp.ndarray   # int32 — last frame's match count; the
+                                # matcher trusts motion predictions only
+                                # while matching is healthy, so one bad
+                                # pose cannot lock the tracker into a
+                                # starvation loop (descriptor-only
+                                # fallback recovers the next frame)
 
 
 class FusedOut(NamedTuple):
@@ -85,6 +96,8 @@ def init_fused_state(cfg: LimoConfig, pcfg: LimoPipelineConfig,
         prev_desc=jnp.zeros((N, D), dtype),
         prev_valid=jnp.zeros((N,), bool),
         slot_of_feat=jnp.full((N,), -1, jnp.int32),
+        prev_depth=jnp.full((N,), -1.0, dtype),
+        prev_matches=jnp.asarray(0, jnp.int32),
     )
 
 
@@ -123,77 +136,94 @@ def make_fused_step(rig, cfg: LimoConfig, pcfg: LimoPipelineConfig,
                     image_size, with_labels: bool,
                     outlier_labels=DEFAULT_OUTLIER_LABELS):
     """Build ``step(FusedState, frame) -> (FusedState, FusedOut)`` with
-    ``frame = (stamp, img_u8 [H,W] uint8, cloud_veh [P,3], cloud_valid [P],
-    label_img [H,W] uint8)`` (label_img ignored unless ``with_labels``)."""
+    ``frame = (stamp, uv_f [N,2], desc_f [N,D], valid_f [N], d_f [N],
+    lab_f [N], plane [4], plane_ok)`` — the PER-FEATURE channels that
+    :func:`make_fused_runner` precomputes in its batched detect / mapped
+    depth passes. The step holds only the truly sequential work: guided
+    matching, the device track table, per-slot channel build, and the
+    scan-odometry step."""
     tcfg = pcfg.tracker
-    lcfg = pcfg.lidar
     L = cfg.capacity.max_landmarks
     scan_step = so.make_scan_step(rig, cfg)
-    out_tab = jnp.asarray(sorted(outlier_labels), jnp.int32)
-    inv_gamma = 1.0 / pcfg.gamma
 
     def step(fst: FusedState, frame):
-        # The whole front end runs under a full-f32 matmul pin: bf16 MXU
-        # lowering corrupts the Shi-Tomasi responses AND the NCC descriptor
-        # similarity matmul (the r3 default-vs-pinned study measured
-        # 7.2 % vs 2.45 % drift on this scene; calling trk.match outside
-        # _detect_and_match's pin silently lost it here in the first fused
-        # build — measured 3.6 % on-chip). The scan step below re-enters
-        # its own per-site precision policy (solver_matmul / Schur pins).
+        # full-f32 matmul pin for the matcher (bf16 NCC similarity measured
+        # on-chip as a drift regression); the scan step re-enters its own
+        # per-site precision policy inside.
         with jax.default_matmul_precision("highest"):
             return _step_inner(fst, frame)
 
     def _step_inner(fst: FusedState, frame):
-        stamp, img_u8, cloud, cloud_valid, label_img = frame
+        stamp, uv_f, desc_f, valid_f, d_f, lab_f, plane, plane_ok = frame
         dtype = fst.prev_uv.dtype
 
-        # ---- 1. gamma normalization (image_preproc nodelet,
-        # feature_matching.launch:9-15) --------------------------------
-        img = (img_u8.astype(dtype) / 255.0) ** inv_gamma
+        # ---- 1. guided matching (geometry-anchored prediction) -------
+        # Project every previous feature through the constant-velocity
+        # vehicle motion at its lidar depth: a per-feature prediction that
+        # follows the RADIAL flow field of forward motion. Design history
+        # (all three alternatives measured as km-drive failures):
+        #  - zero-flow prior: global median flow gate amputates the near,
+        #    translation-carrying features at speed (19.7% @ 14 m/s);
+        #  - flow-constancy prediction: self-REINFORCES lattice aliasing
+        #    on repetitive texture (16% @ 6 m/s — the wrong flow predicts
+        #    itself);
+        #  - unconditional motion prediction: couples matching to pose
+        #    health; one glitch → garbage predictions → starved matcher
+        #    → worse pose (33% @ 14 m/s).
+        # The anchor is GEOMETRY (lidar depth — which aliased matches
+        # cannot fake) and trust is REVOCABLE: predictions apply only
+        # while last frame's matching was healthy, else the matcher falls
+        # back to descriptor-only mutual-NN (measured 2.5% outliers) and
+        # recovers in one frame.
+        f0 = rig.focal[0].astype(dtype)
+        pp0 = rig.principal[0].astype(dtype)
+        tcv = rig.T_cam_veh[0].astype(dtype)
+        d_pred = jnp.where(fst.prev_depth > 0, fst.prev_depth, 20.0)
+        p_cam = backproject(fst.prev_uv, d_pred, f0[None], pp0)
+        p_cam2 = pose_ops.apply(
+            tcv, pose_ops.apply(fst.scan.vel,
+                                pose_ops.apply(pose_ops.inverse(tcv),
+                                               p_cam)))
+        z2 = p_cam2[:, 2]
+        motion_pred = jnp.where(
+            (z2 > 0.5)[:, None],
+            f0 * p_cam2[:, :2] / jnp.maximum(z2, 0.5)[:, None] + pp0,
+            fst.prev_uv)
+        motion_trusted = (fst.prev_matches >= 30) & (fst.scan.n_kf > 0)
+        pred_uv = jnp.where(motion_trusted, motion_pred, fst.prev_uv)
+        pred_known = (fst.prev_depth > 0) & motion_trusted
 
-        # ---- 2. detect + match (viso2-equivalent front end) ----------
-        feats = trk.detect(img, tcfg)
+        feats = trk.Features(uv=uv_f, response=jnp.zeros((uv_f.shape[0],),
+                                                         dtype),
+                             desc=desc_f, valid=valid_f)
         prev = trk.Features(uv=fst.prev_uv,
                             response=jnp.zeros((fst.prev_uv.shape[0],), dtype),
                             desc=fst.prev_desc, valid=fst.prev_valid)
-        m = trk.match(feats, prev, tcfg)
+        m = trk.match(feats, prev, tcfg, pred_uv=pred_uv,
+                      pred_known=pred_known)
+        pi = m.prev_index
 
-        # ---- 3. device-side track table ------------------------------
-        slot = _assign_slots(m.prev_index, fst.slot_of_feat, feats.valid,
+        # ---- 2. device-side track table ------------------------------
+        slot = _assign_slots(pi, fst.slot_of_feat, valid_f,
                              fst.scan.window.lm_valid)
-        ok = feats.valid & (slot >= 0)
+        ok = valid_f & (slot >= 0)
 
-        # ---- 4. lidar depth + groundplane (one traced block) ---------
-        d, plane, plane_ok = frontend_depth_plane(
-            cloud, cloud_valid, rig.T_cam_veh[0].astype(dtype), feats.uv,
-            rig.focal[0].astype(dtype), rig.principal[0].astype(dtype),
-            image_size, lcfg, pcfg.use_groundplane, tuple(pcfg.gp_band))
+        # ---- 3. per-slot channels via ONE one-hot matmul -------------
+        # (injective slot assignment ⇒ the sum over N selects exactly one
+        # feature per slot; landmark-major layout, no scatter)
         hog = cfg.landmark_selection.height_over_ground
         plane = jnp.where(plane_ok, plane,
                           jnp.asarray([0.0, 0.0, 1.0, hog], dtype))
-
-        # ---- 5. semantic labels (dilate + 3×3 ROI sample,
-        # semantic_labels.launch:10-36) --------------------------------
-        if with_labels:
-            li = label_img.astype(jnp.int32)
-            prio = jnp.isin(li, out_tab)
-            lab_feat = sample_labels(dilate_labels(li, prio), feats.uv)
-        else:
-            lab_feat = jnp.full((feats.uv.shape[0],), -2, jnp.int32)
-
-        # ---- 6. per-slot channels via ONE one-hot matmul -------------
-        # (injective slot assignment ⇒ the sum over N selects exactly one
-        # feature per slot; landmark-major layout, no scatter)
         M = jax.nn.one_hot(slot, L, dtype=dtype) * ok[:, None]     # [N,L]
-        uvd_feat = jnp.concatenate([feats.uv, d[:, None]], -1)
+        uvd_feat = jnp.concatenate([uv_f, d_f[:, None]], -1)
         uvd_slot = jnp.einsum("nl,nc->lc", M, uvd_feat,
                               precision=jax.lax.Precision.HIGHEST)
         valid_slot = jnp.sum(M, axis=0) > 0.5
         lab_slot = (jnp.round(jnp.einsum(
-            "nl,n->l", M, (lab_feat + 2).astype(dtype))).astype(jnp.int32)
+            "nl,n->l", M, (lab_f + 2).astype(dtype))).astype(jnp.int32)
             - 2)                                   # empty slots → -2
 
-        # ---- 7. the scan-odometry step (prior → pose-only → gates →
+        # ---- 4. the scan-odometry step (prior → pose-only → gates →
         # push → labels → throttled windowed solve) --------------------
         no_prior = jnp.zeros((7,), dtype).at[0].set(1.0)
         frame2 = (stamp, uvd_slot, valid_slot, lab_slot,
@@ -201,16 +231,86 @@ def make_fused_step(rig, cfg: LimoConfig, pcfg: LimoPipelineConfig,
                   no_prior, jnp.asarray(False))
         scan2, out = scan_step(fst.scan, frame2)
 
-        fst2 = FusedState(scan=scan2, prev_uv=feats.uv, prev_desc=feats.desc,
-                          prev_valid=feats.valid, slot_of_feat=slot)
+        fst2 = FusedState(scan=scan2, prev_uv=uv_f, prev_desc=desc_f,
+                          prev_valid=valid_f, slot_of_feat=slot,
+                          prev_depth=d_f,
+                          # int32 pin: under x64 the match-count sum
+                          # promotes to int64 and breaks the scan carry
+                          prev_matches=m.n_matches.astype(jnp.int32))
         return fst2, FusedOut(
             pose=out.pose, is_keyframe=out.is_keyframe, solved=out.solved,
             cost=out.cost,
             n_tracks=jnp.sum(ok.astype(jnp.int32)),
             n_matches=m.n_matches,
-            n_depth=jnp.sum((ok & (d > 0)).astype(jnp.int32)))
+            n_depth=jnp.sum((ok & (d_f > 0)).astype(jnp.int32)))
 
     return step
+
+
+def make_fused_runner(rig, cfg: LimoConfig, pcfg: LimoPipelineConfig,
+                      image_size, with_labels: bool,
+                      outlier_labels=DEFAULT_OUTLIER_LABELS):
+    """The chunk runner: three device passes inside ONE jitted program.
+
+      1. batched ``detect`` over the chunk's frames (per-frame independent
+         — vmapped convolutions fill the MXU far better than one frame at
+         a time);
+      2. per-frame lidar depth + groundplane via ``lax.map`` (memory-bound
+         RANSAC temporaries stay single-frame-sized);
+      3. the sequential scan (:func:`make_fused_step`).
+
+    This structure is ALSO the workaround for a measured XLA:TPU
+    scheduling pathology: detect's convolutions co-resident with the
+    depth pipeline's big sorts in ONE scan body ran 13× slower than the
+    two blocks separately (48 ms vs 3.7 ms/frame; barriers did not help)
+    — hoisting detect/depth out of the scan removes the coexistence
+    entirely and turns the scan into pure small-tensor sequential work."""
+    tcfg = pcfg.tracker
+    lcfg = pcfg.lidar
+    out_tab = jnp.asarray(sorted(outlier_labels), jnp.int32)
+    inv_gamma = 1.0 / pcfg.gamma
+    step = make_fused_step(rig, cfg, pcfg, image_size, with_labels,
+                           outlier_labels)
+
+    def runner(st: FusedState, xs):
+        stamps, imgs_u8, clouds, cloud_valid, label_imgs = xs
+        dtype = st.prev_uv.dtype
+        with jax.default_matmul_precision("highest"):
+            # pass 1: gamma + batched detect (+ label sampling at feature
+            # positions — needs only uv, so it lives with detect)
+            imgs = (imgs_u8.astype(dtype) / 255.0) ** inv_gamma
+            feats = jax.vmap(lambda im: trk.detect(im, tcfg))(imgs)
+            if with_labels:
+                def lab_one(li_uv):
+                    li, uv = li_uv
+                    li = li.astype(jnp.int32)
+                    return sample_labels(dilate_labels(
+                        li, jnp.isin(li, out_tab)), uv)
+                lab_f = jax.vmap(lab_one)((label_imgs, feats.uv))
+            else:
+                lab_f = jnp.full(feats.uv.shape[:2], -2, jnp.int32)
+
+            # pass 2: per-frame lidar front end (sequential lax.map keeps
+            # the [P,H] RANSAC temporaries at single-frame footprint)
+            tcv = rig.T_cam_veh[0].astype(dtype)
+            f0 = rig.focal[0].astype(dtype)
+            pp0 = rig.principal[0].astype(dtype)
+
+            def depth_one(args):
+                cloud, cv, uv = args
+                return frontend_depth_plane(
+                    cloud, cv, tcv, uv, f0, pp0, image_size, lcfg,
+                    pcfg.use_groundplane, tuple(pcfg.gp_band))
+
+            d_f, planes, planes_ok = jax.lax.map(
+                depth_one, (clouds, cloud_valid, feats.uv))
+
+        # pass 3: the sequential scan
+        return jax.lax.scan(step, st, (stamps, feats.uv, feats.desc,
+                                       feats.valid, d_f, lab_f, planes,
+                                       planes_ok))
+
+    return runner
 
 
 _RUNNER_CACHE: dict = {}
@@ -227,9 +327,8 @@ def _get_runner(rig, cfg, pcfg, image_size, with_labels):
            np.asarray(rig.principal).tobytes(),
            np.asarray(rig.T_cam_veh).tobytes())
     if key not in _RUNNER_CACHE:
-        step = make_fused_step(rig, cfg, pcfg, image_size, with_labels)
         _RUNNER_CACHE[key] = jax.jit(
-            lambda st, xs: jax.lax.scan(step, st, xs))
+            make_fused_runner(rig, cfg, pcfg, image_size, with_labels))
     return _RUNNER_CACHE[key]
 
 

@@ -335,7 +335,16 @@ def make_scan_step(rig, cfg, solve_budget: Optional[int] = None,
                             compensate_rotation=(
                                 cfg.solver.scan_pose_only_compensate_rotation),
                             lm_weight=st.window.lm_weight)
-        refined = jnp.where((st.n_kf >= 1) & (n_usable >= 10), po.pose, prior)
+        # plausibility bound on the motion-only refinement (same 5 m /
+        # 0.2 rad budget as the prior clamps and the post-solve guard): a
+        # pose-only solve on corrupted 2D-3D pairs can report a lower
+        # robust cost for a teleported pose; the prior is structurally
+        # bounded, so a refinement far from it is evidence of corruption,
+        # not information
+        po_ok = ((jnp.linalg.norm(po.pose[4:] - prior[4:]) < 5.0)
+                 & (quat.qangle(po.pose[:4], prior[:4]) < 0.2))
+        refined = jnp.where((st.n_kf >= 1) & (n_usable >= 10) & po_ok,
+                            po.pose, prior)
         refined = pose_ops.normalize(refined)
 
         # ---- 3. keyframe gates (KeyframeSelector) ----------------------
@@ -388,8 +397,30 @@ def make_scan_step(rig, cfg, solve_budget: Optional[int] = None,
             w, _ = operand
             return w, st.sel_mask, jnp.asarray(0.0, dtype)
 
-        window, sel_mask, cost = jax.lax.cond(do_solve, run_solve, no_solve,
-                                              (window, lm_outlier))
+        solved_window, sel_mask, cost = jax.lax.cond(
+            do_solve, run_solve, no_solve, (window, lm_outlier))
+
+        # Post-solve plausibility guard (defensive behavior, SURVEY §5):
+        # a windowed BA on a corrupted/under-constrained window can ACCEPT
+        # a solution that teleports the newest keyframe (measured: a
+        # low-cost solve moved the pose 10.7 m in one 0.1 s frame on a
+        # straight km drive and poisoned every following window). The
+        # motion-only estimate is trusted to bound the correction: reject
+        # the whole solve result if it moves the newest pose further than
+        # any plausible BA refinement (5 m — same bound as the prior
+        # clamps above; the reference's analogue is its disabled
+        # recovery/rebuild path, bundle_adjuster_keyframes.cpp:656-686).
+        solved_pose = solved_window.poses[newest_slot]
+        jump = jnp.linalg.norm(solved_pose[4:] - refined[4:])
+        ang = quat.qangle(solved_pose[:4], refined[:4])
+        # rotation bound matters as much as translation: the measured
+        # teleport was a heading flip (position = −Rᵀt, so a rotated pose
+        # teleports position even with a small Δt)
+        solve_ok = (~do_solve) | ((jump < 5.0) & (ang < 0.2))
+        window = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(solve_ok, b, a), window, solved_window)
+        sel_mask = jnp.where(solve_ok, sel_mask, st.sel_mask)
+        do_solve = do_solve & solve_ok
 
         # pose after a solve: the newest keyframe's optimized pose
         slot_pose = window.poses[newest_slot]
