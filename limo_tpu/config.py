@@ -98,6 +98,13 @@ class SolverConfig:
     pose_only_max_iterations: int = 4
     pose_only_compensate_rotation: bool = True
     scan_pose_only_compensate_rotation: bool = False
+    # Graduated non-convexity for the SCAN path's motion-only solve: the
+    # CV prior starts ~f·Δyaw px outside the Cauchy basin at sharp-turn
+    # onset (the reference's per-frame 5-point prior never does), so the
+    # first iterations run with the robust scales ×(this·2^-it), floor 1.
+    # 1.0 = off (host driver / reference behavior). Measured on the km
+    # rendered drive's 62° turns: see docs/PERF.md.
+    scan_pose_only_graduated_init: float = 8.0
     # (auto-gated: TPU backend + f32 + no rotation compensation; 2.6x
     # full-solve speedup vs the einsum assembly, poses equal to f32
     # accumulation order)

@@ -75,6 +75,13 @@ class FrameOut(NamedTuple):
     is_keyframe: jnp.ndarray    # bool
     solved: jnp.ndarray         # bool
     cost: jnp.ndarray           # BA cost after the frame (0 when no solve)
+    # diagnostics (SURVEY §5 observability): where the frame's pose came
+    # from — the motion prior, the motion-only refinement, and whether the
+    # refinement passed the plausibility guard / usable-landmark gate
+    prior: jnp.ndarray          # [7] motion prior fed to pose-only
+    refined: jnp.ndarray        # [7] guarded pose-only result
+    po_ok: jnp.ndarray          # bool — refinement within plausibility
+    n_usable: jnp.ndarray       # int32 — landmarks usable for pose-only
 
 
 def init_state(cap, dtype=jnp.float32, default_speed: float = 13.0
@@ -334,7 +341,9 @@ def make_scan_step(rig, cfg, solve_budget: Optional[int] = None,
                             max_iters=cfg.solver.pose_only_max_iterations,
                             compensate_rotation=(
                                 cfg.solver.scan_pose_only_compensate_rotation),
-                            lm_weight=st.window.lm_weight)
+                            lm_weight=st.window.lm_weight,
+                            graduated_init=(
+                                cfg.solver.scan_pose_only_graduated_init))
         # plausibility bound on the motion-only refinement (same 5 m /
         # 0.2 rad budget as the prior clamps and the post-solve guard): a
         # pose-only solve on corrupted 2D-3D pairs can report a lower
@@ -455,7 +464,9 @@ def make_scan_step(rig, cfg, solve_budget: Optional[int] = None,
             speed=speed,
         )
         return st2, FrameOut(pose=out_pose, is_keyframe=take_kf,
-                             solved=do_solve, cost=cost)
+                             solved=do_solve, cost=cost,
+                             prior=prior, refined=po.pose, po_ok=po_ok,
+                             n_usable=n_usable)
 
     return step
 
@@ -523,8 +534,19 @@ def run_sequence(stamps, uvd_seq, valid_seq, rig, cfg, priors=None,
 
 def _batched_run(stamps_b, uvd_b, valid_b, rig, cfg, priors_b,
                  prior_valid_b, dtype, labels_b=None, outlier_flags_b=None,
-                 planes_b=None, planes_ok_b=None):
-    """Shared assembly for run_batch/run_fleet: (vmapped runner, args)."""
+                 planes_b=None, planes_ok_b=None, vmap_chunk=None):
+    """Shared assembly for run_batch/run_fleet: (batched runner, args).
+
+    ``vmap_chunk`` bounds the width of the vmapped group: the batch is
+    processed as ``lax.map`` over ⌈B/chunk⌉ groups of ``vmap_chunk``
+    vmapped sequences (B must divide evenly; callers pad). Under vmap the
+    per-frame ``solve_trimmed`` while_loop runs batch-max iterations for
+    the WHOLE group and ``lax.cond`` lowers to both-branch selects, so a
+    small batch pays a ~2× worst-case penalty with no lanes to amortize it
+    (measured: B=2 at 7.4 fps aggregate vs 8.4 at B=1, PERF.md). Chunking
+    recovers the serial rate for small batches while keeping wide batches
+    fully vmapped — the same lesson as CLAUDE.md's shard_map `lax.map`
+    rule, applied to the single-device batch path."""
     B, F = stamps_b.shape[0], stamps_b.shape[1]
     L = np.asarray(uvd_b).shape[2]
     st = init_state(cfg.capacity, dtype, cfg.prior.default_speed)
@@ -557,17 +579,36 @@ def _batched_run(stamps_b, uvd_b, valid_b, rig, cfg, priors_b,
     xs = (jnp.asarray(stamps_b, st.window.stamps.dtype),
           jnp.asarray(uvd_b, dtype), jnp.asarray(valid_b),
           lab_b, flg_b, pl_b, pok_b, p_b, ok_b)
+    if vmap_chunk is not None and vmap_chunk < B:
+        assert B % vmap_chunk == 0, (B, vmap_chunk)
+        G = B // vmap_chunk
+        vone = jax.vmap(one)
+
+        def grouped(st_b, xs_b):
+            st_g = jax.tree_util.tree_map(
+                lambda x: x.reshape((G, vmap_chunk) + x.shape[1:]), st_b)
+            xs_g = jax.tree_util.tree_map(
+                lambda x: x.reshape((G, vmap_chunk) + x.shape[1:]), xs_b)
+            out = jax.lax.map(lambda a: vone(*a), (st_g, xs_g))
+            return jax.tree_util.tree_map(
+                lambda x: x.reshape((B,) + x.shape[2:]), out)
+
+        return jax.jit(grouped), (st_b, xs)
     return jax.jit(jax.vmap(one)), (st_b, xs)
 
 
 def run_batch(stamps_b, uvd_b, valid_b, rig, cfg, priors_b=None,
               prior_valid_b=None, dtype=jnp.float32, labels_b=None,
-              outlier_flags_b=None, planes_b=None, planes_ok_b=None):
+              outlier_flags_b=None, planes_b=None, planes_ok_b=None,
+              vmap_chunk=None):
     """vmapped multi-sequence run: leading batch axis on every input —
-    the reference's serial per-sequence eval loop as one device program."""
+    the reference's serial per-sequence eval loop as one device program.
+    ``vmap_chunk`` (divisor of B) serializes the batch into vmapped groups
+    of that width — see :func:`_batched_run` for when that wins."""
     run, args = _batched_run(stamps_b, uvd_b, valid_b, rig, cfg,
                              priors_b, prior_valid_b, dtype, labels_b,
-                             outlier_flags_b, planes_b, planes_ok_b)
+                             outlier_flags_b, planes_b, planes_ok_b,
+                             vmap_chunk=vmap_chunk)
     return run(*args)
 
 

@@ -64,7 +64,8 @@ def make_world(num_frames: int = 60, hz: float = 10.0, speed: float = 10.0,
                image_size=(1241, 376), cam_height: float = 1.65,
                yaw_rate_profile: Optional[np.ndarray] = None,
                n_shrubbery: int = 0, n_dynamic: int = 0,
-               dynamic_speed: float = 8.0
+               dynamic_speed: float = 8.0,
+               speed_profile: Optional[np.ndarray] = None
                ) -> SyntheticWorld:
     """Vehicle drives forward (+x) with a gentle yaw; landmarks populate a
     corridor along the path; ground points lie on z = -cam_height.
@@ -79,13 +80,21 @@ def make_world(num_frames: int = 60, hz: float = 10.0, speed: float = 10.0,
     ``dense_tracks(..., shrubbery_px_noise=...)``); ``n_dynamic`` points on
     moving objects (label 26 'car' — in the outlier label set), grouped into
     ~10-point clusters that each share a coherent wrong motion of magnitude
-    ``dynamic_speed`` m/s."""
+    ``dynamic_speed`` m/s.
+
+    ``speed_profile`` ([num_frames] m/s) overrides the constant ``speed`` —
+    standstill stretches (speed 0: keyframe flow-rejection must fire,
+    keyframe_rejection_scheme_flow.cpp:9-66) and acceleration phases for
+    kilometre-scale drives."""
     rng = np.random.default_rng(seed)
     dt = 1.0 / hz
     stamps = np.arange(num_frames) * dt
     yr = (np.full(num_frames, yaw_rate) if yaw_rate_profile is None
           else np.asarray(yaw_rate_profile, np.float64))
     assert yr.shape == (num_frames,)
+    sp = (np.full(num_frames, speed) if speed_profile is None
+          else np.asarray(speed_profile, np.float64))
+    assert sp.shape == (num_frames,)
 
     # integrate vehicle pose (origin←vehicle), then store inverse (veh←origin)
     # — pure numpy (pose_host): eager jnp per frame costs a device RPC each
@@ -102,16 +111,18 @@ def make_world(num_frames: int = 60, hz: float = 10.0, speed: float = 10.0,
         m[:3, :3] = R
         m[:3, 3] = pos
         poses.append(pose_host.inverse(pose_host.from_matrix(m)))
-        pos = pos + R @ np.array([speed * dt, 0, 0])
-        heading += yr[i] * dt * speed
+        pos = pos + R @ np.array([sp[i] * dt, 0, 0])
+        heading += yr[i] * dt * sp[i]   # yaw rate is rad/m — ×(m moved)
     poses_veh = np.stack(poses)
 
     # landmark corridor bent along the integrated path (so long, curving
     # trajectories keep landmarks in view): sample an arc position on the
     # path (extended ~40 m past the end), then offset laterally in the local
     # heading frame
-    ext_frames = int(40.0 / (speed * dt)) + 1
+    ref_speed = float(sp[sp > 0].mean()) if np.any(sp > 0) else speed
+    ext_frames = int(40.0 / (ref_speed * dt)) + 1
     yr_ext = np.concatenate([yr, np.full(ext_frames, yr[-1])])
+    sp_ext = np.concatenate([sp, np.full(ext_frames, ref_speed)])
     path_pos = np.zeros((num_frames + ext_frames, 3))
     path_head = np.zeros(num_frames + ext_frames)
     p, h = np.zeros(3), 0.0
@@ -119,8 +130,8 @@ def make_world(num_frames: int = 60, hz: float = 10.0, speed: float = 10.0,
         path_pos[i], path_head[i] = p, h
         R = np.array([[np.cos(h), -np.sin(h), 0],
                       [np.sin(h), np.cos(h), 0], [0, 0, 1.0]])
-        p = p + R @ np.array([speed * dt, 0, 0])
-        h += yr_ext[i] * dt * speed
+        p = p + R @ np.array([sp_ext[i] * dt, 0, 0])
+        h += yr_ext[i] * dt * sp_ext[i]
 
     def along_path(n, lat_lo, lat_hi, z_lo, z_hi):
         t = rng.uniform(0, len(path_pos) - 1, n)

@@ -74,6 +74,23 @@ class TestScanOdometry:
             jax.tree_util.tree_map(lambda x: x[0], outb)))
         assert ate_b < 0.3, ate_b
 
+    def test_batch_vmap_chunked_matches(self, setup):
+        # vmap_chunk serializes the batch into lax.map groups of vmapped
+        # width (small-batch fix for the batch-max while_loop penalty,
+        # PERF.md): identical elements stay identical, and the chunked
+        # program matches the plain vmap in steady state.
+        world, cfg, rig = setup
+        stamps, uvd, valid = dense_tracks(world, R, with_depth=True, seed=4)
+        sb = np.stack([stamps] * 2)
+        ub = np.stack([uvd] * 2)
+        vb = np.stack([valid] * 2)
+        _, outv = so.run_batch(sb, ub, vb, rig, cfg)
+        _, outm = so.run_batch(sb, ub, vb, rig, cfg, vmap_chunk=1)
+        np.testing.assert_allclose(np.asarray(outm.pose[0]),
+                                   np.asarray(outm.pose[1]), atol=0)
+        np.testing.assert_allclose(np.asarray(outm.pose[0, 10:]),
+                                   np.asarray(outv.pose[0, 10:]), atol=5e-2)
+
     def test_fleet_sharded_matches_batch(self, setup):
         # SURVEY §3.5: the sequence fleet as ONE mesh-sharded computation.
         # 3 sequences on a 4-device data axis (pad row dropped) must equal
