@@ -102,8 +102,12 @@ class SolverConfig:
     # CV prior starts ~f·Δyaw px outside the Cauchy basin at sharp-turn
     # onset (the reference's per-frame 5-point prior never does), so the
     # first iterations run with the robust scales ×(this·2^-it), floor 1.
-    # 1.0 = off (host driver / reference behavior). Measured on the km
-    # rendered drive's 62° turns: see docs/PERF.md.
+    # 1.0 = off (host driver / reference behavior). On the km rendered
+    # drive's 62° turns the per-frame diagnostics show pose-only
+    # recovering 3.0-8.6° deficits inside the ≤4-iteration budget with
+    # this schedule active (docs/PERF.md km-drive failure chain; the
+    # catastrophic failure itself was the frame-dependent plausibility
+    # guard, fixed separately in scan_odometry).
     scan_pose_only_graduated_init: float = 8.0
     # (auto-gated: TPU backend + f32 + no rotation compensation; 2.6x
     # full-solve speedup vs the einsum assembly, poses equal to f32

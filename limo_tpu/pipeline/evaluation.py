@@ -497,6 +497,10 @@ def main():  # pragma: no cover — manual entry
                    help="run N synthetic sequences as one sharded fleet")
     p.add_argument("--longdrive", type=int, default=0,
                    help="kilometre-scale drift eval over N frames (10 Hz)")
+    p.add_argument("--renderdrive", type=int, default=0,
+                   help="kilometre-scale RENDERED images+clouds drive over "
+                        "N frames through the fused device pipeline "
+                        "(standstill + sharp turns; VERDICT r3 item 4)")
     p.add_argument("--longfleet", type=int, default=0,
                    help="N kilometre-scale drives as one batched computation"
                         " (--frames per drive, default 1200)")
@@ -524,6 +528,18 @@ def main():  # pragma: no cover — manual entry
                     args.longfleet, num_frames=args.frames or 1200,
                     out_dir=fleet_out_dir()):
                 print(f"[{tag}]", rep.to_json())
+    elif args.renderdrive:
+        rep, out, still = evaluate_rendered_long_drive(
+            num_frames=args.renderdrive, chunk=args.chunk,
+            repeat=args.repeat,
+            out_poses=args.out if args.out.endswith(".txt") else None)
+        import numpy as _np
+        kf = _np.asarray(out.is_keyframe)
+        print(rep.to_json())
+        print(f"standstill {still} kf_in_still "
+              f"{int(kf[still[0] + 10:still[1]].sum())} "
+              f"min_tracks {int(_np.asarray(out.n_tracks)[10:].min())}",
+              flush=True)
     elif args.longdrive:
         for i in range(max(args.repeat, 1)):
             rep = evaluate_long_drive(num_frames=args.longdrive,

@@ -84,6 +84,13 @@ class FusedOut(NamedTuple):
     n_tracks: jnp.ndarray       # live tracks holding a slot this frame
     n_matches: jnp.ndarray      # feature matches to the previous frame
     n_depth: jnp.ndarray        # features with a valid lidar depth
+    # scan-step diagnostics passed through (SURVEY §5 observability;
+    # km_turn_debug.py reads these): motion prior, guarded pose-only
+    # result, guard verdict, usable-landmark count
+    prior: jnp.ndarray          # [7]
+    refined: jnp.ndarray        # [7]
+    po_ok: jnp.ndarray          # bool
+    n_usable: jnp.ndarray       # int32
 
 
 def init_fused_state(cfg: LimoConfig, pcfg: LimoPipelineConfig,
@@ -242,7 +249,9 @@ def make_fused_step(rig, cfg: LimoConfig, pcfg: LimoPipelineConfig,
             cost=out.cost,
             n_tracks=jnp.sum(ok.astype(jnp.int32)),
             n_matches=m.n_matches,
-            n_depth=jnp.sum((ok & (d_f > 0)).astype(jnp.int32)))
+            n_depth=jnp.sum((ok & (d_f > 0)).astype(jnp.int32)),
+            prior=out.prior, refined=out.refined, po_ok=out.po_ok,
+            n_usable=out.n_usable)
 
     return step
 

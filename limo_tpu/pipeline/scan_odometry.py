@@ -349,8 +349,15 @@ def make_scan_step(rig, cfg, solve_budget: Optional[int] = None,
         # pose-only solve on corrupted 2D-3D pairs can report a lower
         # robust cost for a teleported pose; the prior is structurally
         # bounded, so a refinement far from it is evidence of corruption,
-        # not information
-        po_ok = ((jnp.linalg.norm(po.pose[4:] - prior[4:]) < 5.0)
+        # not information. The bound MUST be on the relative pose (vehicle
+        # displacement |Δp| and Δθ), NOT on raw t components of the
+        # veh←origin poses: position = −Rᵀt, so a legitimate Δθ rotation
+        # fix changes t by 2·sin(Δθ/2)·|p| — at 170 m from origin a 3°
+        # sharp-turn correction reads as an 8.8 m "translation" and the
+        # raw-t guard rejected EXACTLY the corrections the turn needed
+        # (km-drive failure, docs/PERF.md).
+        po_ok = ((jnp.linalg.norm(pose_ops.relative(po.pose, prior)[4:])
+                  < 5.0)
                  & (quat.qangle(po.pose[:4], prior[:4]) < 0.2))
         refined = jnp.where((st.n_kf >= 1) & (n_usable >= 10) & po_ok,
                             po.pose, prior)
@@ -420,7 +427,11 @@ def make_scan_step(rig, cfg, solve_budget: Optional[int] = None,
         # clamps above; the reference's analogue is its disabled
         # recovery/rebuild path, bundle_adjuster_keyframes.cpp:656-686).
         solved_pose = solved_window.poses[newest_slot]
-        jump = jnp.linalg.norm(solved_pose[4:] - refined[4:])
+        # the jump bound is the vehicle DISPLACEMENT |Δp| (relative-pose
+        # translation), not raw Δt of veh←origin poses — same frame-
+        # dependence trap as the motion-only guard above: far from origin
+        # a legitimate heading fix has a huge Δt at near-zero Δp
+        jump = jnp.linalg.norm(pose_ops.relative(solved_pose, refined)[4:])
         ang = quat.qangle(solved_pose[:4], refined[:4])
         # rotation bound matters as much as translation: the measured
         # teleport was a heading flip (position = −Rᵀt, so a rotated pose
@@ -541,12 +552,17 @@ def _batched_run(stamps_b, uvd_b, valid_b, rig, cfg, priors_b,
     processed as ``lax.map`` over ⌈B/chunk⌉ groups of ``vmap_chunk``
     vmapped sequences (B must divide evenly; callers pad). Under vmap the
     per-frame ``solve_trimmed`` while_loop runs batch-max iterations for
-    the WHOLE group and ``lax.cond`` lowers to both-branch selects, so a
-    small batch pays a ~2× worst-case penalty with no lanes to amortize it
-    (measured: B=2 at 7.4 fps aggregate vs 8.4 at B=1, PERF.md). Chunking
-    recovers the serial rate for small batches while keeping wide batches
-    fully vmapped — the same lesson as CLAUDE.md's shard_map `lax.map`
-    rule, applied to the single-device batch path."""
+    the WHOLE group and ``lax.cond`` lowers to both-branch selects, so
+    each batch slot pays the batch's worst case. On-chip A/B
+    (``scripts/b2_vmap_chunk.py``, r4): the worst-case penalty is real
+    per-slot (4.7→5.8 ms/frame-slot at B=1→2) but the AGGREGATE still
+    wins (211→348→439 fps at B=1/2/4, plain vmap) because the
+    latency-bound solve leaves the chip idle for other lanes to fill;
+    chunking serializes groups and LOSES aggregate everywhere measured
+    (chunk=1: 216-218 fps flat). The r3 "B=2 regression" (7.4 vs 8.4 fps)
+    was per-call RPC wall over the tunnel, not device behavior — PERF.md
+    has the table. Default ``None`` (plain vmap) is right for throughput;
+    chunk only when per-sequence latency must not degrade with batch."""
     B, F = stamps_b.shape[0], stamps_b.shape[1]
     L = np.asarray(uvd_b).shape[2]
     st = init_state(cfg.capacity, dtype, cfg.prior.default_speed)

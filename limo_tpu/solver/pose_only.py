@@ -74,12 +74,15 @@ def pose_only_step(pose_prior, lm_pos, obs, obs_mask, lm_mask, rig, cfg,
     runs with the Cauchy scales multiplied by ``max(ginit·2^-it, 1)``, so
     a prior that starts far outside the robust basin (a sharp-turn onset
     under a constant-velocity prior puts EVERY inlier at ~16 px while
-    reprojection_thres is 1.6 px — Cauchy crushes 99 % of the gradient and
-    ≤4 iterations recover only ~0.4°/frame of a 2°/frame yaw step; km-drive
-    failure analysis in docs/PERF.md) still sees full gradient early, while
-    the final iterations re-tighten to the true scale. 1.0 = reference
-    behavior (the reference never needs this because its prior is a fresh
-    per-frame 5-point that already contains the turn rotation).
+    reprojection_thres is 1.6 px) still sees full gradient early, while
+    the final iterations re-tighten to the true scale. On the km rendered
+    drive's turns the per-frame diagnostics show 3.0-8.6° deficits
+    recovered inside the ≤4-iteration budget with this schedule active
+    (docs/PERF.md km-drive failure chain — note the catastrophic km
+    failure itself was the frame-dependent plausibility guard in the scan
+    step, not this solve). 1.0 = reference behavior (the reference never
+    needs this because its prior is a fresh per-frame 5-point that
+    already contains the turn rotation).
     """
     rcfg = cfg.robust
     dtype = pose_prior.dtype

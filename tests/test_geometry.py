@@ -294,3 +294,33 @@ class TestTangentBasis:
         np.testing.assert_allclose(np.asarray(J), np.asarray(B[0, :, :2]),
                                    atol=1e-9)
         np.testing.assert_allclose(np.asarray(mask), [1, 1, 0, 0, 0, 0])
+
+
+class TestRelativeDisplacement:
+    """The plausibility guards in the scan step bound the VEHICLE
+    displacement ‖relative(p1,p0)[4:]‖, never the raw Δt of veh←origin
+    poses: position = −Rᵀt, so far from origin a small legitimate heading
+    fix has a huge raw Δt at near-zero displacement. The raw-t guard
+    rejected exactly the corrections a sharp turn needs (km rendered-drive
+    failure at ~170 m: a 3° fix read as 8.8 m of 'translation')."""
+
+    def test_rotation_fix_far_from_origin_is_small_displacement(self):
+        import numpy as np
+
+        p_world = np.array([170.0, 40.0, 0.0])
+        def veh_from_origin(yaw):
+            q = np.array([np.cos(yaw / 2), 0.0, 0.0, np.sin(yaw / 2)])
+            R = np.array([[np.cos(yaw), -np.sin(yaw), 0],
+                          [np.sin(yaw), np.cos(yaw), 0], [0, 0, 1.0]])
+            return jnp.asarray(np.concatenate([q, -R @ p_world]))
+
+        p0 = veh_from_origin(0.50)
+        p1 = veh_from_origin(0.50 + np.radians(3.0))   # 3° heading fix
+        raw_dt = float(jnp.linalg.norm(p1[4:] - p0[4:]))
+        disp = float(jnp.linalg.norm(pose_ops.relative(p1, p0)[4:]))
+        assert raw_dt > 5.0, raw_dt          # the trap: reads as a teleport
+        assert disp < 1e-9, disp             # the truth: vehicle never moved
+        # and a genuine 2 m jump reads as 2 m regardless of heading
+        p2 = jnp.concatenate([p1[:4], p1[4:] + jnp.asarray([0.0, 2.0, 0.0])])
+        assert abs(float(jnp.linalg.norm(
+            pose_ops.relative(p2, p1)[4:])) - 2.0) < 1e-9
