@@ -79,7 +79,9 @@ class FrameOut(NamedTuple):
     # from — the motion prior, the motion-only refinement, and whether the
     # refinement passed the plausibility guard / usable-landmark gate
     prior: jnp.ndarray          # [7] motion prior fed to pose-only
-    refined: jnp.ndarray        # [7] guarded pose-only result
+    refined: jnp.ndarray        # [7] raw pose-only result (pre-guard;
+                                # pair with po_ok — km_turn_debug.py needs
+                                # the unguarded value)
     po_ok: jnp.ndarray          # bool — refinement within plausibility
     n_usable: jnp.ndarray       # int32 — landmarks usable for pose-only
 

@@ -400,7 +400,7 @@ class TestPoseOnlyLandmarkWeight:
         gt = make_gt_poses()
         lms = make_landmarks(rng, n=24)           # < 30 groups: no trimming
         pose_gt = gt[2]
-        f, pp, tcv = RIG.focal[0], RIG.principal[0], RIG.T_cam_veh[0]
+        tcv = RIG.T_cam_veh[0]
         pcam = pose_ops.apply(tcv, pose_ops.apply(pose_gt, lms))
         uv = F * pcam[:, :2] / pcam[:, 2:3] + jnp.array([CX, CY], DT)
         obs = np.zeros((lms.shape[0], 1, 3))
@@ -458,7 +458,7 @@ class TestPoseOnlyGraduatedInit:
         gt = make_gt_poses()
         lms = make_landmarks(rng, n=24)
         pose_gt = gt[2]
-        f, pp, tcv = RIG.focal[0], RIG.principal[0], RIG.T_cam_veh[0]
+        tcv = RIG.T_cam_veh[0]
         pcam = pose_ops.apply(tcv, pose_ops.apply(pose_gt, lms))
         uv = F * pcam[:, :2] / pcam[:, 2:3] + jnp.array([CX, CY], DT)
         obs = np.zeros((lms.shape[0], 1, 3))
