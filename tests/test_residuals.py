@@ -88,6 +88,60 @@ class TestReprojection:
                                           compensate_rotation=True)
         assert not bool(valid)
 
+    def test_rotrocc_curve_scale_hand_computed(self):
+        """VERDICT r4 item 7: pin the RotRocc divisor against an INDEPENDENT
+        hand computation at curve-scale rotation (2°/frame yaw — the km
+        drive's sharp-turn magnitude) with a non-trivial camera extrinsic.
+        The reference semantics being certified
+        (cost_functors_ceres.hpp:130-148): the rotation-only transform is
+        ``T_cam_veh ∘ Quaternion(pose.rotation())`` — the keyframe pose with
+        its TRANSLATION ZEROED (not the pose inverse, not a relative pose),
+        the divisor is the norm of (rot-only prediction − observation), and
+        both the true and rot-only projections must pass the |z| ≥ 0.01
+        guard. The hand computation below builds rotation matrices from the
+        quaternion components directly — no limo_tpu pose ops."""
+
+        def qmat(q):  # wxyz quaternion → rotation matrix, textbook formula
+            w, x, y, z = q
+            return np.array([
+                [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+                [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+                [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]])
+
+        # keyframe←origin pose: 2° yaw (about vehicle z) + forward motion
+        th = np.radians(2.0)
+        q_kf = np.array([np.cos(th / 2), 0.0, 0.0, np.sin(th / 2)])
+        t_kf = np.array([0.04, -1.2, 0.02])
+        # camera←vehicle: axes permutation-ish small rotation + offset
+        phi = np.radians(1.0)
+        q_cv = np.array([np.cos(phi / 2), np.sin(phi / 2), 0.0, 0.0])
+        t_cv = np.array([0.1, -0.25, 0.3])
+        lm = np.array([3.0, -1.5, 22.0])          # landmark in origin frame
+        obs = np.array([CX + 40.0, CY - 25.0])    # off-prediction observation
+
+        R_kf, R_cv = qmat(q_kf), qmat(q_cv)
+        # full chain: p_cam = R_cv (R_kf p + t_kf) + t_cv
+        p_cam = R_cv @ (R_kf @ lm + t_kf) + t_cv
+        pred = F * p_cam[:2] / p_cam[2] + np.array([CX, CY])
+        # rot-only chain: translation of the KEYFRAME pose zeroed
+        p_rot = R_cv @ (R_kf @ lm) + t_cv
+        pred_rot = F * p_rot[:2] / p_rot[2] + np.array([CX, CY])
+        denom = np.linalg.norm(pred_rot - obs)
+        expected = (pred - obs) / denom
+        assert p_cam[2] > 0.01 and p_rot[2] > 0.01 and denom > 0.1
+
+        pose_kf = jnp.asarray(np.concatenate([q_kf, t_kf]))
+        T_cv = jnp.asarray(np.concatenate([q_cv, t_cv]))
+        res, valid = residuals.reprojection(
+            pose_kf, jnp.asarray(lm), jnp.asarray(obs), jnp.asarray(F),
+            jnp.array([CX, CY]), T_cv, compensate_rotation=True)
+        assert bool(valid)
+        np.testing.assert_allclose(np.asarray(res), expected, rtol=1e-12)
+        # sanity of the magnitude: at 2° yaw the divisor is dominated by the
+        # rotation-induced image motion (tens of px at f=600), so the
+        # compensated residual is O(residual/flow) — dimensionless-ish
+        assert 0.0 < np.abs(expected).max() < 10.0
+
     def test_jacobian_finite(self, rng):
         pose_kf = pose_ops.make(quat.qexp(jnp.asarray(rng.normal(size=3) * 0.1)),
                                 jnp.asarray(rng.normal(size=3)))

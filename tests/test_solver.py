@@ -504,3 +504,24 @@ class TestPoseOnlyGraduatedInit:
                        graduated_init=1.0)
         np.testing.assert_allclose(np.asarray(res_def.pose),
                                    np.asarray(res_one.pose), atol=1e-12)
+
+    def test_rotrocc_on_converges_at_curve_scale(self, rng):
+        """VERDICT r4 item 7 (accept behavior): with RotRocc ON
+        (compensate_rotation=True — the reference's adjustPoseOnly default,
+        bundle_adjuster_keyframes.cpp:832), the motion-only solve at a 2°
+        curve-scale rotation deficit must still ACCEPT and converge within
+        the ≤4-iteration reference budget. The divisor (rot-only error
+        norm, ~tens of px at this magnitude) scales every inlier residual
+        well below the Cauchy knee, so the problem is near-quadratic —
+        divergence here would indicate a sign/normalization bug in the
+        divisor (the hypothesis VERDICT r4 asked to rule out). Companion
+        to the hand-computed divisor pin in
+        test_residuals.py::test_rotrocc_curve_scale_hand_computed."""
+        step, prior, lms, obs, mask, lm_mask, cfg, pose_gt = self._setup(rng)
+        res = step(prior, lms, obs, mask, lm_mask, RIG, cfg, max_iters=4,
+                   compensate_rotation=True)
+        # converged: the 2° deficit is recovered (same bar as RotRocc OFF)
+        assert self._yaw_err_deg(res.pose, pose_gt) < 0.05
+        # and the translation did not drift off under the divisor's
+        # reduced translation observability
+        assert float(jnp.linalg.norm(res.pose[4:] - pose_gt[4:])) < 0.05
