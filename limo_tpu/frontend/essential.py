@@ -286,7 +286,9 @@ def estimate_essential(uv0, uv1, match_mask, focal, principal,
                        thres_px: float = 1.0,
                        min_flow_px: float = 3.0,
                        seed: int = 0,
-                       method: str = "5point") -> EssentialResult:
+                       method: str = "5point",
+                       q_guess=None,
+                       vote_margin: float = 0.8) -> EssentialResult:
     """Full motion-prior estimate from matched pixel coordinates.
 
     uv0, uv1: [N,2] matched points in frames 0 (older) and 1 (newer);
@@ -297,6 +299,21 @@ def estimate_essential(uv0, uv1, match_mask, focal, principal,
     general_helpers.hpp:103-140) runs the true minimal solver, which stays
     well-posed on planar scenes; "8point" is the cheaper DLT variant
     (degenerate when all correspondences are coplanar).
+
+    q_guess (optional [4] wxyz, CAMERA frame): rotation prior for the
+    recoverPose step. On a dominant-plane scene the essential matrix has a
+    TWO-FOLD (R, t) ambiguity (the twisted pair both triangulate most
+    correspondences in front of both cameras), and the pure cheirality
+    vote — which the reference's ``recoverPose`` also uses — can flip
+    between the folds frame to frame on vote noise (measured: a 68 m pose
+    shock at f100 of the km drive, docs/PERF.md). With a guess, candidates
+    whose vote is within ``vote_margin`` of the best form the AMBIGUOUS
+    set and the member closest in rotation to the guess wins; a candidate
+    that truly dominates the vote is never overridden (margin gate). The
+    reference has no externally-supplied guess — its callers accept the
+    flip risk (general_helpers.hpp:103-140); the scan path supplies the
+    constant-velocity rotation, which is exactly the hysteresis that kills
+    the intermittent fold flips.
     """
     dtype = uv0.dtype
     N = uv0.shape[0]
@@ -362,7 +379,14 @@ def estimate_essential(uv0, uv1, match_mask, focal, principal,
         return jnp.sum(((z0 > 0) & (z1 > 0) & inliers).astype(jnp.int32))
 
     votes = jax.vmap(vote)(Rs, ts)
-    k = jnp.argmax(votes)
+    if q_guess is None:
+        k = jnp.argmax(votes)
+    else:
+        qs = jax.vmap(quat.qfrom_matrix)(Rs)
+        ang = jax.vmap(lambda qq: quat.qangle(qq, q_guess))(qs)
+        vmax = jnp.max(votes)
+        ambiguous = votes.astype(dtype) >= vote_margin * vmax.astype(dtype)
+        k = jnp.argmin(jnp.where(ambiguous, ang, jnp.inf))
     R, t = Rs[k], ts[k]
     q = quat.qfrom_matrix(R)
 

@@ -51,6 +51,10 @@ class TrackerConfig:
     # rest of the image of features. 0 disables.
     bucket_size: int = 50
     bucket_cap: int = 0            # features per bucket; 0 = auto from k
+    # guided matching (fused path): use the geometry-anchored motion
+    # prediction while matching is healthy. False = descriptor-only
+    # mutual-NN always (A/B knob for the km-drive scale study).
+    guided: bool = True
 
 
 class Features(NamedTuple):

@@ -196,7 +196,8 @@ def make_fused_step(rig, cfg: LimoConfig, pcfg: LimoPipelineConfig,
             (z2 > 0.5)[:, None],
             f0 * p_cam2[:, :2] / jnp.maximum(z2, 0.5)[:, None] + pp0,
             fst.prev_uv)
-        motion_trusted = (fst.prev_matches >= 30) & (fst.scan.n_kf > 0)
+        motion_trusted = (fst.prev_matches >= 30) & (fst.scan.n_kf > 0) \
+            & tcfg.guided
         pred_uv = jnp.where(motion_trusted, motion_pred, fst.prev_uv)
         pred_known = (fst.prev_depth > 0) & motion_trusted
 

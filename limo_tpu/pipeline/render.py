@@ -62,7 +62,7 @@ class SequenceRenderer:
                  texture_seed: int = 1234, ground_cell: float = 0.4,
                  max_draw_range: float = 70.0,
                  patch_world_halfsize: float = 0.45,
-                 patch_px_max: int = 14):
+                 patch_px_max: int = 40):
         from scipy.ndimage import gaussian_filter
 
         self.w = world
@@ -158,21 +158,34 @@ class SequenceRenderer:
         # (A constant-pixel-size patch makes its boundary corners track
         # "landmark projection + fixed pixel offset" — not a consistent 3-D
         # point — which poisons triangulation/BA with systematic error; the
-        # round-3 e2e gate measured it at several % drift.)
+        # round-3 e2e gate measured it at several % drift.) The texture is
+        # ALWAYS mapped at the true scale ru_all — r4 clamped the mapping
+        # scale itself at patch_px_max, which froze near patches' internal
+        # texture expansion (interior corners slid inward in world space as
+        # the camera approached — a systematic forward-translation-
+        # UNDERESTIMATING bias in the test instrument, part of the km
+        # drive's 4.5% short path scale). patch_px_max now only bounds the
+        # drawn bbox (binding below z ≈ F·halfsize/Rmax ≈ 5 m).
         ru_all = F * self.patch_world_halfsize / np.maximum(z, 1e-6)
         Rmax = self.patch_px_max
         vis = ((z > 2.0) & (z < self.max_draw_range) & (ru_all >= 1.5)
-               & (uv[:, 0] > Rmax + 2) & (uv[:, 0] < W - Rmax - 2)
-               & (uv[:, 1] > Rmax + 2) & (uv[:, 1] < H - Rmax - 2)
+               & (uv[:, 0] > 2) & (uv[:, 0] < W - 3)
+               & (uv[:, 1] > 2) & (uv[:, 1] < H - 3)
                & ~self.is_ground_pt)      # ground points ARE the plane
         order = np.flatnonzero(vis)[np.argsort(-z[vis])]   # far → near
         side = self.tex.shape[1]
         for i in order:
-            ru = min(ru_all[i], Rmax)
-            R = int(np.ceil(ru))
+            ru = ru_all[i]                       # TRUE perspective scale
+            R = int(np.ceil(min(ru, Rmax)))      # bbox bound only
             u0, v0 = int(np.floor(uv[i, 0])), int(np.floor(uv[i, 1]))
-            xs = np.arange(u0 - R, u0 + R + 2, dtype=np.float32)
-            ys = np.arange(v0 - R, v0 + R + 2, dtype=np.float32)
+            # bbox clipped to the image (patches may straddle the border —
+            # excluding them starved exactly the high-parallax edge regions)
+            xlo, xhi = max(u0 - R, 0), min(u0 + R + 2, W)
+            ylo, yhi = max(v0 - R, 0), min(v0 + R + 2, H)
+            if xhi <= xlo or yhi <= ylo:
+                continue
+            xs = np.arange(xlo, xhi, dtype=np.float32)
+            ys = np.arange(ylo, yhi, dtype=np.float32)
             # texture coords: bbox pixel → [0, side-1] billboard coords,
             # bilinear sample (sub-pixel correct, scale correct)
             txc = (xs - uv[i, 0]) / (2 * ru) + 0.5
@@ -191,7 +204,7 @@ class SequenceRenderer:
                  + fy * ((1 - fx) * T[iy0 + 1][:, ix0]
                          + fx * T[iy0 + 1][:, ix0 + 1]))
             alpha = (iny[:, None] & inx[None, :]).astype(np.float32)
-            rows, cols = slice(v0 - R, v0 + R + 2), slice(u0 - R, u0 + R + 2)
+            rows, cols = slice(ylo, yhi), slice(xlo, xhi)
             img[rows, cols] = alpha * S + (1.0 - alpha) * img[rows, cols]
             lab[rows, cols] = np.where(alpha > 0.5, self.lm_label[i],
                                        lab[rows, cols])

@@ -306,11 +306,21 @@ def make_scan_step(rig, cfg, solve_budget: Optional[int] = None,
             from ..frontend.essential import (estimate_essential,
                                               motion_prior_unscaled)
             pc = cfg.prior
+            # planar two-fold disambiguation (VERDICT r4 item 6): hand the
+            # CV prior's relative rotation — conjugated into the CAMERA
+            # frame — to the cheirality vote as a tie-breaker, so the
+            # (R,t) fold cannot flip frame-to-frame on vote noise over
+            # ground-dominated stretches (the 68 m f100 shock)
+            tcv_p = rig.T_cam_veh[0].astype(dtype)
+            dv = pose_ops.relative(prior, st.last_kf_pose)
+            q_guess_cam = pose_ops.compose(
+                tcv_p, pose_ops.compose(dv, pose_ops.inverse(tcv_p)))[:4]
             res = estimate_essential(
                 st.last_kf_uv, uvd[:, :2], valid & st.last_kf_uv_valid,
                 rig.focal[0].astype(dtype), rig.principal[0].astype(dtype),
                 num_hypotheses=getattr(pc, "scan_num_hypotheses", 64),
-                thres_px=pc.ransac_thres_px, min_flow_px=pc.min_flow_px)
+                thres_px=pc.ransac_thres_px, min_flow_px=pc.min_flow_px,
+                q_guess=q_guess_cam)
             dt_kf = jnp.maximum((stamp - st.last_kf_stamp).astype(dtype),
                                 1e-3)
             # plausibility clamp on the translation magnitude (same bound
