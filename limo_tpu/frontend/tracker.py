@@ -55,6 +55,10 @@ class TrackerConfig:
     # prediction while matching is healthy. False = descriptor-only
     # mutual-NN always (A/B knob for the km-drive scale study).
     guided: bool = True
+    # assumed depth for depthless features in the guided-match motion
+    # prediction (a mid-scene prior; only shapes the search center, never
+    # the estimate itself)
+    depth_anchor_m: float = 20.0
 
 
 class Features(NamedTuple):

@@ -185,7 +185,8 @@ def make_fused_step(rig, cfg: LimoConfig, pcfg: LimoPipelineConfig,
         f0 = rig.focal[0].astype(dtype)
         pp0 = rig.principal[0].astype(dtype)
         tcv = rig.T_cam_veh[0].astype(dtype)
-        d_pred = jnp.where(fst.prev_depth > 0, fst.prev_depth, 20.0)
+        d_pred = jnp.where(fst.prev_depth > 0, fst.prev_depth,
+                           tcfg.depth_anchor_m)
         p_cam = backproject(fst.prev_uv, d_pred, f0[None], pp0)
         p_cam2 = pose_ops.apply(
             tcv, pose_ops.apply(fst.scan.vel,

@@ -63,6 +63,8 @@ class ScanState(NamedTuple):
     last_kf_uv: jnp.ndarray     # [L,2] pixels at the last keyframe
     last_kf_uv_valid: jnp.ndarray  # [L]
     last_solve_stamp: jnp.ndarray
+    last_stamp: jnp.ndarray     # previous frame's stamp — per-frame dt for
+                                # the speed-derived plausibility budgets
     speed: jnp.ndarray          # scalar m/s from the last two keyframes —
                                 # scales the 5-point unit translation
                                 # (mono_lidar.cpp:168-185; default 13 m/s
@@ -104,6 +106,7 @@ def init_state(cap, dtype=jnp.float32, default_speed: float = 13.0
         last_kf_uv=jnp.zeros((L, 2), dtype),
         last_kf_uv_valid=jnp.zeros((L,), bool),
         last_solve_stamp=jnp.asarray(-1e9, w.stamps.dtype),
+        last_stamp=jnp.asarray(-1e9, w.stamps.dtype),
         speed=jnp.asarray(default_speed, dtype),
     )
 
@@ -276,6 +279,21 @@ def make_scan_step(rig, cfg, solve_budget: Optional[int] = None,
          ext_prior, ext_prior_ok) = frame
         dtype = st.cur_pose.dtype
         uvd = uvd.astype(dtype)
+        pc = cfg.prior
+
+        # Speed-derived per-frame plausibility budget (VERDICT r4 item 4):
+        # budget_m = max(floor, factor × max(speed, floor_speed) × dt).
+        # The r4 fixed 5 m bound silently BINDS at speed — at 25 m/s
+        # (KITTI seq 01) the true per-frame motion is 2.5 m and legitimate
+        # corrections exceed 5 m; the reference scales translation budgets
+        # by measured speed with no caps (general_helpers.hpp:209-231).
+        dt_frame = jnp.clip((stamp - st.last_stamp).astype(dtype),
+                            1e-3, 1.0)
+        budget_m = jnp.maximum(
+            jnp.asarray(pc.guard_floor_m, dtype),
+            pc.guard_speed_factor
+            * jnp.maximum(st.speed, pc.guard_floor_speed) * dt_frame)
+        budget_rad = jnp.asarray(pc.guard_rotation_rad, dtype)
 
         # ---- 1. prior (mono_lidar.cpp:155-187); an external prior
         # (tf odometry / host 5-point, mono_lidar.cpp:119-150) overrides
@@ -287,10 +305,10 @@ def make_scan_step(rig, cfg, solve_budget: Optional[int] = None,
             # 209-231, is bounded by construction)
             tv = st.vel[4:]
             tn = jnp.linalg.norm(tv)
-            tv = tv * jnp.minimum(1.0, 5.0 / jnp.maximum(tn, 1e-9))
+            tv = tv * jnp.minimum(1.0, budget_m / jnp.maximum(tn, 1e-9))
             wv = quat.qlog(st.vel[:4])
             wn = jnp.linalg.norm(wv)
-            wv = wv * jnp.minimum(1.0, 0.15 / jnp.maximum(wn, 1e-9))
+            wv = wv * jnp.minimum(1.0, budget_rad / jnp.maximum(wn, 1e-9))
             vel = pose_ops.make(quat.qexp(wv), tv)
             prior = pose_ops.normalize(pose_ops.compose(vel, st.cur_pose))
         else:  # "identity" — no motion model
@@ -305,7 +323,6 @@ def make_scan_step(rig, cfg, solve_budget: Optional[int] = None,
             # motion model is the scan path's strictly better equivalent).
             from ..frontend.essential import (estimate_essential,
                                               motion_prior_unscaled)
-            pc = cfg.prior
             # planar two-fold disambiguation (VERDICT r4 item 6): hand the
             # CV prior's relative rotation — conjugated into the CAMERA
             # frame — to the cheirality vote as a tie-breaker, so the
@@ -323,12 +340,21 @@ def make_scan_step(rig, cfg, solve_budget: Optional[int] = None,
                 q_guess=q_guess_cam)
             dt_kf = jnp.maximum((stamp - st.last_kf_stamp).astype(dtype),
                                 1e-3)
-            # plausibility clamp on the translation magnitude (same bound
-            # as the CV prior above): after a standstill stretch the last
-            # keyframe is several seconds old and the cached speed is
-            # stale — speed·Δt would teleport the prior out of the
-            # solver's basin on the resume frame
-            speed_eff = jnp.minimum(st.speed, 5.0 / dt_kf)
+            # Scale trust is a FRESHNESS question, not a fixed cap: while
+            # keyframes arrive on schedule the measured speed is current
+            # and the reference contract applies unchanged (scale by
+            # speed·Δt, no caps — general_helpers.hpp:209-231; the r4
+            # `min(speed, 5/dt_kf)` cap bound speed to 12.5 m/s at the
+            # 0.4 s launch keyframe gap, exactly at odds with the
+            # prior_speed tunable). After a GAP (standstill stretch: the
+            # last keyframe is seconds old, the cached speed is stale) the
+            # displacement is bounded by the budget floor so the resume
+            # frame cannot teleport out of the solver's basin.
+            kf_period = cfg.keyframe_selection.time_between_keyframes_sec
+            fresh = dt_kf <= 2.5 * kf_period
+            speed_eff = jnp.where(
+                fresh, st.speed,
+                jnp.minimum(st.speed, pc.guard_floor_m / dt_kf))
             delta = motion_prior_unscaled(
                 res, rig.T_cam_veh[0].astype(dtype), speed_eff, dt_kf)
             ess = pose_ops.normalize(
@@ -356,21 +382,21 @@ def make_scan_step(rig, cfg, solve_budget: Optional[int] = None,
                             lm_weight=st.window.lm_weight,
                             graduated_init=(
                                 cfg.solver.scan_pose_only_graduated_init))
-        # plausibility bound on the motion-only refinement (same 5 m /
-        # 0.2 rad budget as the prior clamps and the post-solve guard): a
-        # pose-only solve on corrupted 2D-3D pairs can report a lower
-        # robust cost for a teleported pose; the prior is structurally
-        # bounded, so a refinement far from it is evidence of corruption,
-        # not information. The bound MUST be on the relative pose (vehicle
-        # displacement |Δp| and Δθ), NOT on raw t components of the
-        # veh←origin poses: position = −Rᵀt, so a legitimate Δθ rotation
-        # fix changes t by 2·sin(Δθ/2)·|p| — at 170 m from origin a 3°
-        # sharp-turn correction reads as an 8.8 m "translation" and the
-        # raw-t guard rejected EXACTLY the corrections the turn needed
+        # plausibility bound on the motion-only refinement (the same
+        # speed-derived budget as the prior clamps and the post-solve
+        # guard): a pose-only solve on corrupted 2D-3D pairs can report a
+        # lower robust cost for a teleported pose; the prior is
+        # structurally bounded, so a refinement far from it is evidence of
+        # corruption, not information. The bound MUST be on the relative
+        # pose (vehicle displacement |Δp| and Δθ), NOT on raw t components
+        # of the veh←origin poses: position = −Rᵀt, so a legitimate Δθ
+        # rotation fix changes t by 2·sin(Δθ/2)·|p| — at 170 m from origin
+        # a 3° sharp-turn correction reads as an 8.8 m "translation" and
+        # the raw-t guard rejected EXACTLY the corrections the turn needed
         # (km-drive failure, docs/PERF.md).
         po_ok = ((jnp.linalg.norm(pose_ops.relative(po.pose, prior)[4:])
-                  < 5.0)
-                 & (quat.qangle(po.pose[:4], prior[:4]) < 0.2))
+                  < budget_m)
+                 & (quat.qangle(po.pose[:4], prior[:4]) < budget_rad))
         refined = jnp.where((st.n_kf >= 1) & (n_usable >= 10) & po_ok,
                             po.pose, prior)
         refined = pose_ops.normalize(refined)
@@ -435,9 +461,10 @@ def make_scan_step(rig, cfg, solve_budget: Optional[int] = None,
         # straight km drive and poisoned every following window). The
         # motion-only estimate is trusted to bound the correction: reject
         # the whole solve result if it moves the newest pose further than
-        # any plausible BA refinement (5 m — same bound as the prior
-        # clamps above; the reference's analogue is its disabled
-        # recovery/rebuild path, bundle_adjuster_keyframes.cpp:656-686).
+        # any plausible BA refinement (the speed-derived budget — same
+        # bound as the prior clamps above; the reference's analogue is its
+        # disabled recovery/rebuild path, bundle_adjuster_keyframes.cpp:
+        # 656-686).
         solved_pose = solved_window.poses[newest_slot]
         # the jump bound is the vehicle DISPLACEMENT |Δp| (relative-pose
         # translation), not raw Δt of veh←origin poses — same frame-
@@ -448,7 +475,7 @@ def make_scan_step(rig, cfg, solve_budget: Optional[int] = None,
         # rotation bound matters as much as translation: the measured
         # teleport was a heading flip (position = −Rᵀt, so a rotated pose
         # teleports position even with a small Δt)
-        solve_ok = (~do_solve) | ((jump < 5.0) & (ang < 0.2))
+        solve_ok = (~do_solve) | ((jump < budget_m) & (ang < budget_rad))
         window = jax.tree_util.tree_map(
             lambda a, b: jnp.where(solve_ok, b, a), window, solved_window)
         sel_mask = jnp.where(solve_ok, sel_mask, st.sel_mask)
@@ -484,6 +511,7 @@ def make_scan_step(rig, cfg, solve_budget: Optional[int] = None,
             last_kf_uv=jnp.where(take_kf, uvd[:, :2], st.last_kf_uv),
             last_kf_uv_valid=jnp.where(take_kf, valid, st.last_kf_uv_valid),
             last_solve_stamp=jnp.where(do_solve, stamp, st.last_solve_stamp),
+            last_stamp=stamp,
             speed=speed,
         )
         return st2, FrameOut(pose=out_pose, is_keyframe=take_kf,

@@ -133,12 +133,25 @@ def make_world(num_frames: int = 60, hz: float = 10.0, speed: float = 10.0,
         p = p + R @ np.array([sp_ext[i] * dt, 0, 0])
         h += yr_ext[i] * dt * sp_ext[i]
 
+    # cumulative arc length: structure density must be uniform PER METRE of
+    # road, so sampling inverts the arc-length CDF. (Sampling uniform over
+    # frame index — the r4 behavior — piles the zero-speed standstill
+    # frames' share of ALL landmarks onto ONE spot: measured 162 landmarks
+    # within 5 m of the km drive's parking position vs 11 at a cruise
+    # position — a 15× billboard wall at the turn exit whose overlapping
+    # patches' occlusion-boundary corners are not 3-D-consistent; the km
+    # drive's f340-520 translation-scale collapse sat exactly in the frames
+    # that see it.)
+    seg_len = np.linalg.norm(np.diff(path_pos, axis=0), axis=1)
+    cum_len = np.concatenate([[0.0], np.cumsum(seg_len)])
+
     def along_path(n, lat_lo, lat_hi, z_lo, z_hi):
-        t = rng.uniform(0, len(path_pos) - 1, n)
-        i0 = np.floor(t).astype(int)
-        frac = t - i0
+        s = rng.uniform(0, cum_len[-1], n)
+        i0 = np.minimum(np.searchsorted(cum_len, s, side="right") - 1,
+                        len(seg_len) - 1)
+        frac = (s - cum_len[i0]) / np.maximum(seg_len[i0], 1e-9)
         pos = path_pos[i0] * (1 - frac[:, None]) \
-            + path_pos[np.minimum(i0 + 1, len(path_pos) - 1)] * frac[:, None]
+            + path_pos[i0 + 1] * frac[:, None]
         head = path_head[i0]
         lat = rng.uniform(lat_lo, lat_hi, n)
         z = rng.uniform(z_lo, z_hi, n) if z_lo != z_hi else np.full(n, z_lo)
