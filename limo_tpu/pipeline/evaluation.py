@@ -211,11 +211,64 @@ def make_km_rendered_world(num_frames: int = 1000, hz: float = 10.0,
     return world, (s0, s1)
 
 
+def _render_streams_cached(world, num_frames: int, seed: int,
+                           world_kw, render_kw):
+    """Rendered (images, labels, clouds) for the km-drive worlds, cached on
+    disk. Rendering is deterministic pure numpy (~0.2 s/frame — minutes per
+    km gate, paid on every suite run); the cache key hashes the RENDERER AND
+    WORLD-GENERATOR SOURCE plus every parameter, so any code or config
+    change invalidates stale entries automatically. Lives in
+    ``.render_cache/`` (gitignored, survives /tmp wipes like ``.jax_cache``)."""
+    import hashlib
+    import inspect
+
+    from . import render as render_mod
+    from . import synthetic as synthetic_mod
+    from .render import SequenceRenderer
+
+    src = (inspect.getsource(render_mod) + inspect.getsource(synthetic_mod))
+    key = hashlib.sha256(repr((
+        src, num_frames, seed, sorted((world_kw or {}).items()),
+        sorted((render_kw or {}).items()))).encode()).hexdigest()[:24]
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".render_cache")
+    path = os.path.join(cache_dir, f"km_{key}.npz")
+    if os.path.exists(path):
+        d = np.load(path)
+        clouds = [d["cloud_flat"][a:b] for a, b in
+                  zip(d["cloud_off"][:-1], d["cloud_off"][1:])]
+        return d["imgs"], d["labels"], clouds
+
+    rend = SequenceRenderer(world, **(render_kw or {}))
+    rng = np.random.default_rng(seed)
+    imgs = np.empty((num_frames,) + world.image_size[::-1], np.uint8)
+    labels = np.empty_like(imgs)
+    clouds = []
+    for i in range(num_frames):
+        img, lab = rend.frame(i)
+        imgs[i] = (img * 255).astype(np.uint8)
+        labels[i] = lab
+        clouds.append(rend.cloud(i, rng))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        off = np.concatenate([[0], np.cumsum([len(c) for c in clouds])])
+        tmp = path + ".tmp.npz"
+        np.savez_compressed(tmp, imgs=imgs, labels=labels,
+                            cloud_flat=np.concatenate(clouds).astype(
+                                np.float32),
+                            cloud_off=off.astype(np.int64))
+        os.replace(tmp, path)
+    except OSError:
+        pass                      # cache is best-effort
+    return imgs, labels, clouds
+
+
 def evaluate_rendered_long_drive(num_frames: int = 1000,
                                  cfg=None, chunk: Optional[int] = 64,
                                  repeat: int = 1, seed: int = 11,
                                  out_poses: Optional[str] = None,
-                                 world_kw: Optional[Dict] = None):
+                                 world_kw: Optional[Dict] = None,
+                                 render_kw: Optional[Dict] = None):
     """Kilometre-scale rendered images+clouds through the FUSED device
     pipeline — the flagship end-to-end evidence row (rendered sensor data,
     not track tensors; one compiled program per chunk).
@@ -231,16 +284,8 @@ def evaluate_rendered_long_drive(num_frames: int = 1000,
 
     world, still = make_km_rendered_world(num_frames, seed=seed,
                                           **(world_kw or {}))
-    rend = SequenceRenderer(world)
-    rng = np.random.default_rng(seed)
-    imgs = np.empty((num_frames,) + world.image_size[::-1], np.uint8)
-    labels = np.empty_like(imgs)
-    clouds = []
-    for i in range(num_frames):
-        img, lab = rend.frame(i)
-        imgs[i] = (img * 255).astype(np.uint8)
-        labels[i] = lab
-        clouds.append(rend.cloud(i, rng))
+    imgs, labels, clouds = _render_streams_cached(
+        world, num_frames, seed, world_kw, render_kw)
 
     if cfg is None:
         import dataclasses

@@ -62,7 +62,7 @@ class SequenceRenderer:
                  texture_seed: int = 1234, ground_cell: float = 0.4,
                  max_draw_range: float = 70.0,
                  patch_world_halfsize: float = 0.45,
-                 patch_px_max: int = 40):
+                 patch_px_max: int = 20):
         from scipy.ndimage import gaussian_filter
 
         self.w = world

@@ -104,7 +104,7 @@ class TestFusedPipeline:
     def test_rendered_drive_end_to_end(self):
         """~120-frame rendered drive fully on-device: structure + accuracy.
         (The km-scale and 200-frame reference gates live in
-        test_kitti_eval/test_long_fused; this is the fast structural one.)"""
+        test_kitti_eval; this is the fast structural one.)"""
         n = 120
         world, st, out = self._run(n)
         assert out.pose.shape == (n, 7)
