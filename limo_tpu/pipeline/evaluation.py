@@ -295,9 +295,16 @@ def evaluate_rendered_long_drive(num_frames: int = 1000,
             landmark_selection=dataclasses.replace(
                 LandmarkSelectionConfig(), height_over_ground=1.65),
             prior=dataclasses.replace(PriorConfig(), default_speed=12.0))
+        # nms_radius 5 = the reference's nms_n 9 (res/config_feature_
+        # matching.yaml:11, tuned for 1241-wide KITTI) scaled to the
+        # 512-wide gate optics; with 384 feature rows the scene's ~330
+        # trackable corners all fit. Corner density was the binding
+        # accuracy constraint (VERDICT r4 item 5): 256 feats/nms 9 gave
+        # ~116 corners and 2.5% km drift; this config measured 1.34% /
+        # 0.0058 °/m on the 1000-frame km gate (docs/PERF.md).
         cfg = LimoPipelineConfig(
             limo=limo,
-            tracker=TrackerConfig(max_features=256, border=8),
+            tracker=TrackerConfig(max_features=384, border=8, nms_radius=5),
             lidar=LidarDepthConfig(), use_groundplane=True,
             cloud_capacity=16384)
     rig = CameraRig.single(world.focal, world.principal[0],

@@ -153,7 +153,18 @@ class TestKmRenderedDrive:
         (pose-diff selection), S-curve wander, shrubbery + dynamic traffic —
         through the FUSED device pipeline (one compiled program per chunk).
         The reference's corresponding claim is kilometres of real KITTI at
-        ≈0.93% drift (README.md:44-57, res/kitti_eval_script.sh:54-115)."""
+        ≈0.93% drift (README.md:44-57, res/kitti_eval_script.sh:54-115).
+
+        r5 history of THIS gate (docs/PERF.md km section): the r4 5.66%
+        failure was a test-instrument defect — frame-index-uniform landmark
+        placement piled a 15× billboard wall at the standstill position and
+        every frame that saw it under-translated at ratio 0.57-0.73 (scale
+        error, not the heading story r4's PERF told). With arc-length
+        placement, true-scale billboards, and corner density raised to the
+        scene's yield (nms 5 / 384 rows ≈ 330 corners), the drive measures
+        1.34% / 0.0058 °/m / ATE 2.8 m — the asserts below are that
+        measurement with ~10% headroom, tighter than r4's failed 1.5%/0.02
+        on rotation and ATE."""
         from limo_tpu.pipeline.evaluation import evaluate_rendered_long_drive
 
         rep, out, still = evaluate_rendered_long_drive(num_frames=1000,
@@ -161,8 +172,8 @@ class TestKmRenderedDrive:
         assert rep.n_frames == 1000
         assert rep.drift["num_segments"] >= 100
         assert rep.drift["t_err_percent"] < 1.5, rep.drift
-        assert rep.drift["r_err_deg_per_m"] < 0.02, rep.drift
-        assert np.isfinite(rep.ate) and rep.ate < 5.0, rep.ate
+        assert rep.drift["r_err_deg_per_m"] < 0.008, rep.drift
+        assert np.isfinite(rep.ate) and rep.ate < 3.5, rep.ate
         # standstill behavior: flow rejection stalls keyframe acceptance
         # (a couple of early-standstill keyframes are legitimate — flow
         # decays over the deceleration — but the stretch must not keep
