@@ -65,6 +65,8 @@ class ScanState(NamedTuple):
     last_solve_stamp: jnp.ndarray
     last_stamp: jnp.ndarray     # previous frame's stamp — per-frame dt for
                                 # the speed-derived plausibility budgets
+    last_d: jnp.ndarray         # [L] previous frame's per-slot lidar depth
+    last_d_valid: jnp.ndarray   # [L] — depth-rate speed observation
     speed: jnp.ndarray          # scalar m/s from the last two keyframes —
                                 # scales the 5-point unit translation
                                 # (mono_lidar.cpp:168-185; default 13 m/s
@@ -107,6 +109,8 @@ def init_state(cap, dtype=jnp.float32, default_speed: float = 13.0
         last_kf_uv_valid=jnp.zeros((L,), bool),
         last_solve_stamp=jnp.asarray(-1e9, w.stamps.dtype),
         last_stamp=jnp.asarray(-1e9, w.stamps.dtype),
+        last_d=jnp.full((L,), -1.0, dtype),
+        last_d_valid=jnp.zeros((L,), bool),
         speed=jnp.asarray(default_speed, dtype),
     )
 
@@ -306,6 +310,43 @@ def make_scan_step(rig, cfg, solve_budget: Optional[int] = None,
             tv = st.vel[4:]
             tn = jnp.linalg.norm(tv)
             tv = tv * jnp.minimum(1.0, budget_m / jnp.maximum(tn, 1e-9))
+
+            # Lidar depth-rate speed rescue (the high-speed failure mode,
+            # docs/PERF.md): per-slot lidar depths measure range rate
+            # directly — a speed observation IMMUNE to image-space match
+            # aliasing. At 25 m/s the per-frame appearance scale change
+            # (~20% near field) lets self-similar texture alias matches
+            # toward the (short) predicted positions; the aliased field is
+            # smooth and plentiful, so every image-space health gate
+            # passes while the estimated speed ratchets to zero (measured:
+            # est speed 0.2 m/s with 160 'healthy' matches at f225). The
+            # guard: when ≥20 persisting slots carry depth in BOTH frames
+            # and the median range rate disagrees with the motion model's
+            # speed by >40% (and >3 m/s), rescale the prior translation to
+            # the lidar-observed speed. Vision runs the show otherwise.
+            d_cur = uvd[:, 2]
+            both = (valid & st.last_d_valid & (d_cur > 0)
+                    & st.window.lm_valid)
+            rate = (st.last_d - d_cur) / dt_frame
+            plaus = both & (jnp.abs(rate) < 80.0)
+            n_rate = jnp.sum(plaus.astype(jnp.int32))
+            big = jnp.asarray(jnp.inf, dtype)
+            rs = jnp.sort(jnp.where(plaus, rate, big))
+            i_med = jnp.clip((n_rate - 1) // 2, 0, rate.shape[0] - 1)
+            speed_obs = jnp.maximum(
+                0.5 * (rs[i_med] + rs[jnp.clip(n_rate // 2, 0,
+                                               rate.shape[0] - 1)]), 0.0)
+            speed_inst = tn / dt_frame
+            rescue = ((n_rate >= 20)
+                      & (jnp.abs(speed_inst - speed_obs)
+                         > jnp.maximum(3.0, 0.4 * speed_obs)))
+            # keep the motion direction when it exists; a near-zero vel
+            # has no direction — fall back to straight-ahead (T_cur←prev
+            # translation for forward motion is −m·e_x)
+            fwd = jnp.asarray([-1.0, 0.0, 0.0], dtype)
+            dirv = jnp.where(tn > 0.2, tv / jnp.maximum(tn, 1e-9), fwd)
+            tv = jnp.where(rescue, dirv * speed_obs * dt_frame, tv)
+
             wv = quat.qlog(st.vel[:4])
             wn = jnp.linalg.norm(wv)
             wv = wv * jnp.minimum(1.0, budget_rad / jnp.maximum(wn, 1e-9))
@@ -512,6 +553,8 @@ def make_scan_step(rig, cfg, solve_budget: Optional[int] = None,
             last_kf_uv_valid=jnp.where(take_kf, valid, st.last_kf_uv_valid),
             last_solve_stamp=jnp.where(do_solve, stamp, st.last_solve_stamp),
             last_stamp=stamp,
+            last_d=jnp.where(valid & (uvd[:, 2] > 0), uvd[:, 2], -1.0),
+            last_d_valid=valid & (uvd[:, 2] > 0),
             speed=speed,
         )
         return st2, FrameOut(pose=out_pose, is_keyframe=take_kf,

@@ -25,8 +25,14 @@ from limo_tpu.pipeline.evaluation import (evaluate_rendered_long_drive,
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
 out_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/km_dump.npz"
-rep, out, still = evaluate_rendered_long_drive(num_frames=N, chunk=64)
-world, _ = make_km_rendered_world(N)
+# optional world overrides: key=value pairs (floats/bools) after the path
+kw = {}
+for arg in sys.argv[3:]:
+    k, v = arg.split("=")
+    kw[k] = (v == "True") if v in ("True", "False") else float(v)
+rep, out, still = evaluate_rendered_long_drive(num_frames=N, chunk=64,
+                                               world_kw=kw or None)
+world, _ = make_km_rendered_world(N, **kw)
 est = fu.poses_kitti(out)
 gt = world.kitti_gt()
 fields = {}

@@ -188,3 +188,7 @@ class TestKmRenderedDrive:
         # the pipeline stays alive across the whole drive
         assert out.n_tracks[10:].min() > 40, out.n_tracks.min()
         assert np.all(np.isfinite(est))
+
+
+# (The 25 m/s high-speed gate lands with the high-speed fix —
+# VERDICT r4 item 4; work in progress in docs/PERF.md high-speed section.)
