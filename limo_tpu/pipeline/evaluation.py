@@ -183,8 +183,12 @@ def make_km_rendered_world(num_frames: int = 1000, hz: float = 10.0,
     this is the strongest evidence a dataset-free environment allows."""
     f = num_frames
     t = np.arange(f) / f
-    # gentle S-curve wander + two sharp turns at ~35% and ~75% of the drive
-    yaw = 0.010 * np.sin(2 * np.pi * (2.0 * t + 0.3))
+    # gentle S-curve wander, amplitude limited to ~3 m/s² lateral
+    # acceleration (a_lat = yaw_rate[rad/m] · v²): 0.010 rad/m is fine at
+    # the 12 m/s default but means 6.25 m/s² at 25 m/s — beyond anything a
+    # road vehicle drives; the instrument must model plausible dynamics
+    wander = min(0.010, 3.0 / max(cruise, 1.0) ** 2)
+    yaw = wander * np.sin(2 * np.pi * (2.0 * t + 0.3))
     if with_turns:
         turn_len = int(0.03 * f)                 # ~3 s at 10 Hz
         for c, sgn in ((int(0.35 * f), 1.0), (int(0.75 * f), -1.0)):
@@ -227,9 +231,22 @@ def _render_streams_cached(world, num_frames: int, seed: int,
     from .render import SequenceRenderer
 
     src = (inspect.getsource(render_mod) + inspect.getsource(synthetic_mod))
-    key = hashlib.sha256(repr((
+    h = hashlib.sha256(repr((
         src, num_frames, seed, sorted((world_kw or {}).items()),
-        sorted((render_kw or {}).items()))).encode()).hexdigest()[:24]
+        sorted((render_kw or {}).items()))).encode())
+    # the WORLD'S OWN ARRAYS are part of the key: the world is built by the
+    # caller (make_km_rendered_world lives outside the hashed sources), so
+    # a profile change there must invalidate the cache — hashing only the
+    # renderer sources let a wander-profile edit serve stale imagery
+    # against fresh ground truth (caught r5: a 63% "drift" that was really
+    # an imagery/GT world mismatch)
+    for arr in (world.poses_veh, world.landmarks, world.stamps,
+                np.asarray(world.image_size), np.asarray(world.focal),
+                np.zeros(0) if world.velocities is None
+                else world.velocities,
+                np.zeros(0) if world.labels is None else world.labels):
+        h.update(np.ascontiguousarray(arr).tobytes())
+    key = h.hexdigest()[:24]
     cache_dir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__)))), ".render_cache")
     path = os.path.join(cache_dir, f"km_{key}.npz")
