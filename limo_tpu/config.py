@@ -215,6 +215,21 @@ class PriorConfig:
     guard_floor_m: float = 5.0
     guard_floor_speed: float = 3.0   # m/s; keeps budgets alive from rest
     guard_rotation_rad: float = 0.2
+    # Lidar range-rate scale arbitration (the high-speed delusion loop,
+    # docs/PERF.md high-speed section): a pose estimate is accepted only
+    # when its implied speed sits within ±max(floor, frac·speed_obs) of
+    # the per-slot lidar depth-rate median (when ≥ min_rates slots carry
+    # depth in consecutive frames). The band must be TIGHT: a 40% band
+    # measured at 25 m/s let accepted motion decay to 15 m/s, the matcher
+    # prediction error then crossed the texture-aliasing cliff, and the
+    # fully-aliased match field zeroed the range rate itself (ground
+    # depth is position-invariant — an aliased static match field reads
+    # speed 0). 15% keeps the prediction locked so the cliff is never
+    # reached. The thesis is the reference's own: metric scale comes from
+    # the lidar, not from image matching (monolidar_fusion).
+    lidar_band_frac: float = 0.15
+    lidar_band_floor_m_s: float = 2.0
+    lidar_min_rates: int = 20
 
 
 @dataclass(frozen=True)

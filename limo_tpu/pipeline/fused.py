@@ -89,6 +89,8 @@ class FusedOut(NamedTuple):
     # result, guard verdict, usable-landmark count
     prior: jnp.ndarray          # [7]
     refined: jnp.ndarray        # [7]
+    speed_obs: jnp.ndarray      # lidar range-rate speed observation (m/s)
+    n_rate: jnp.ndarray         # int32 — depth-carrying persisting slots
     po_ok: jnp.ndarray          # bool
     n_usable: jnp.ndarray       # int32
 
@@ -252,7 +254,8 @@ def make_fused_step(rig, cfg: LimoConfig, pcfg: LimoPipelineConfig,
             n_tracks=jnp.sum(ok.astype(jnp.int32)),
             n_matches=m.n_matches,
             n_depth=jnp.sum((ok & (d_f > 0)).astype(jnp.int32)),
-            prior=out.prior, refined=out.refined, po_ok=out.po_ok,
+            prior=out.prior, refined=out.refined,
+            speed_obs=out.speed_obs, n_rate=out.n_rate, po_ok=out.po_ok,
             n_usable=out.n_usable)
 
     return step

@@ -86,6 +86,8 @@ class FrameOut(NamedTuple):
     refined: jnp.ndarray        # [7] raw pose-only result (pre-guard;
                                 # pair with po_ok — km_turn_debug.py needs
                                 # the unguarded value)
+    speed_obs: jnp.ndarray      # lidar range-rate speed observation (m/s)
+    n_rate: jnp.ndarray         # int32 — depth-carrying persisting slots
     po_ok: jnp.ndarray          # bool — refinement within plausibility
     n_usable: jnp.ndarray       # int32 — landmarks usable for pose-only
 
@@ -299,6 +301,48 @@ def make_scan_step(rig, cfg, solve_budget: Optional[int] = None,
             * jnp.maximum(st.speed, pc.guard_floor_speed) * dt_frame)
         budget_rad = jnp.asarray(pc.guard_rotation_rad, dtype)
 
+        # Lidar depth-rate speed observation (the high-speed failure mode,
+        # docs/PERF.md high-speed section): per-slot lidar depths measure
+        # range rate directly — a speed observation IMMUNE to image-space
+        # match aliasing. At 25 m/s the per-frame appearance scale change
+        # (~20% near field) lets self-similar texture alias matches toward
+        # the (short) predicted positions; the aliased field is smooth and
+        # plentiful, so every image-space health gate passes while the
+        # estimated speed ratchets to zero (measured: est speed 0.2 m/s
+        # with 160 'healthy' matches at f225). The lidar range-rate median
+        # over persisting depth-carrying slots arbitrates SCALE at every
+        # acceptance point below (prior, pose-only, windowed solve, speed
+        # state) — which is the mono+lidar thesis itself: metric scale
+        # comes from the lidar, not from image matching
+        # (monolidar_fusion; mono_lidar.cpp:155-187). Deliberately NOT
+        # gated on window.lm_valid: the first cut required it, and the
+        # 25 m/s dump showed the dying window killed n_rate exactly when
+        # the rescue was needed (prior collapsed to 0.0 at f230-270).
+        d_cur = uvd[:, 2]
+        both = valid & st.last_d_valid & (d_cur > 0)
+        rate = (st.last_d - d_cur) / dt_frame
+        plaus = both & (jnp.abs(rate) < 80.0)
+        n_rate = jnp.sum(plaus.astype(jnp.int32))
+        big = jnp.asarray(jnp.inf, dtype)
+        rs = jnp.sort(jnp.where(plaus, rate, big))
+        i_med = jnp.clip((n_rate - 1) // 2, 0, rate.shape[0] - 1)
+        speed_obs = jnp.maximum(
+            0.5 * (rs[i_med] + rs[jnp.clip(n_rate // 2, 0,
+                                           rate.shape[0] - 1)]), 0.0)
+        lidar_has = n_rate >= pc.lidar_min_rates
+
+        def lidar_agrees(sp):
+            # a speed estimate is lidar-consistent when no observation
+            # exists, or it sits within the configured band — the floor
+            # covers honest per-frame pose-only jitter and the keyframe-
+            # averaged-vs-instantaneous lag through decel ramps; the
+            # fraction covers turn-geometry cos() loss and median bias
+            # from dynamic objects (band choice measured, config.py)
+            return (~lidar_has) | (jnp.abs(sp - speed_obs)
+                                   <= jnp.maximum(pc.lidar_band_floor_m_s,
+                                                  pc.lidar_band_frac
+                                                  * speed_obs))
+
         # ---- 1. prior (mono_lidar.cpp:155-187); an external prior
         # (tf odometry / host 5-point, mono_lidar.cpp:119-150) overrides
         # the internal estimate when provided ------------------------------
@@ -311,35 +355,8 @@ def make_scan_step(rig, cfg, solve_budget: Optional[int] = None,
             tn = jnp.linalg.norm(tv)
             tv = tv * jnp.minimum(1.0, budget_m / jnp.maximum(tn, 1e-9))
 
-            # Lidar depth-rate speed rescue (the high-speed failure mode,
-            # docs/PERF.md): per-slot lidar depths measure range rate
-            # directly — a speed observation IMMUNE to image-space match
-            # aliasing. At 25 m/s the per-frame appearance scale change
-            # (~20% near field) lets self-similar texture alias matches
-            # toward the (short) predicted positions; the aliased field is
-            # smooth and plentiful, so every image-space health gate
-            # passes while the estimated speed ratchets to zero (measured:
-            # est speed 0.2 m/s with 160 'healthy' matches at f225). The
-            # guard: when ≥20 persisting slots carry depth in BOTH frames
-            # and the median range rate disagrees with the motion model's
-            # speed by >40% (and >3 m/s), rescale the prior translation to
-            # the lidar-observed speed. Vision runs the show otherwise.
-            d_cur = uvd[:, 2]
-            both = (valid & st.last_d_valid & (d_cur > 0)
-                    & st.window.lm_valid)
-            rate = (st.last_d - d_cur) / dt_frame
-            plaus = both & (jnp.abs(rate) < 80.0)
-            n_rate = jnp.sum(plaus.astype(jnp.int32))
-            big = jnp.asarray(jnp.inf, dtype)
-            rs = jnp.sort(jnp.where(plaus, rate, big))
-            i_med = jnp.clip((n_rate - 1) // 2, 0, rate.shape[0] - 1)
-            speed_obs = jnp.maximum(
-                0.5 * (rs[i_med] + rs[jnp.clip(n_rate // 2, 0,
-                                               rate.shape[0] - 1)]), 0.0)
             speed_inst = tn / dt_frame
-            rescue = ((n_rate >= 20)
-                      & (jnp.abs(speed_inst - speed_obs)
-                         > jnp.maximum(3.0, 0.4 * speed_obs)))
+            rescue = lidar_has & (~lidar_agrees(speed_inst))
             # keep the motion direction when it exists; a near-zero vel
             # has no direction — fall back to straight-ahead (T_cur←prev
             # translation for forward motion is −m·e_x)
@@ -435,9 +452,18 @@ def make_scan_step(rig, cfg, solve_budget: Optional[int] = None,
         # a 3° sharp-turn correction reads as an 8.8 m "translation" and
         # the raw-t guard rejected EXACTLY the corrections the turn needed
         # (km-drive failure, docs/PERF.md).
+        po_speed = jnp.linalg.norm(
+            pose_ops.relative(po.pose, st.cur_pose)[4:]) / dt_frame
         po_ok = ((jnp.linalg.norm(pose_ops.relative(po.pose, prior)[4:])
                   < budget_m)
-                 & (quat.qangle(po.pose[:4], prior[:4]) < budget_rad))
+                 & (quat.qangle(po.pose[:4], prior[:4]) < budget_rad)
+                 # lidar scale arbitration (high-speed delusion loop): a
+                 # refinement whose implied speed contradicts the lidar
+                 # range rate is aliased-match evidence, not information —
+                 # the 25 m/s collapse ENTERED through accepted pose-only
+                 # results at half the true motion (f114: 2.5 m gt →
+                 # 1.32 m accepted, comfortably inside the 6 m budget)
+                 & lidar_agrees(po_speed))
         refined = jnp.where((st.n_kf >= 1) & (n_usable >= 10) & po_ok,
                             po.pose, prior)
         refined = pose_ops.normalize(refined)
@@ -454,6 +480,17 @@ def make_scan_step(rig, cfg, solve_budget: Optional[int] = None,
         pushed, fresh = _push_keyframe(
             st.window, slot, stamp, refined, uvd, valid,
             plane.astype(dtype), plane_ok, rig, cfg)
+        # Deactivate at PUSH, not only at solve: landmark-row GC must not
+        # wait for (and be hostage to) an ACCEPTED solve. At 25 m/s scene
+        # turnover between keyframes is near-total, so the landmark union
+        # over 20 live keyframes exceeds the L=1536 row pool; with GC tied
+        # to the solve cadence (and reverted with rejected solves) the
+        # track table starved to n_trk=1 for 15-frame stretches while
+        # n_matches stayed ~150 — features matched but no slot was free
+        # (25 m/s dump, docs/PERF.md high-speed section). Behavior at
+        # solve points is unchanged: run_solve's own _deactivate would
+        # have dropped the same low-connectivity keyframes.
+        pushed = _deactivate(pushed, slot, cfg)
         window = jax.tree_util.tree_map(
             lambda a, b: jnp.where(take_kf, b, a), st.window, pushed)
         fresh = fresh & take_kf
@@ -513,10 +550,18 @@ def make_scan_step(rig, cfg, solve_budget: Optional[int] = None,
         # a legitimate heading fix has a huge Δt at near-zero Δp
         jump = jnp.linalg.norm(pose_ops.relative(solved_pose, refined)[4:])
         ang = quat.qangle(solved_pose[:4], refined[:4])
+        solved_speed = jnp.linalg.norm(
+            pose_ops.relative(solved_pose, st.cur_pose)[4:]) / dt_frame
         # rotation bound matters as much as translation: the measured
         # teleport was a heading flip (position = −Rᵀt, so a rotated pose
-        # teleports position even with a small Δt)
-        solve_ok = (~do_solve) | ((jump < budget_m) & (ang < budget_rad))
+        # teleports position even with a small Δt). The lidar term: with
+        # the speed state corrupted the translation budget is loose
+        # (4·50 m/s·0.1 s = 20 m) and BA solves on sparse poisoned windows
+        # teleported the pose WITHIN budget (25 m/s dump, f255:
+        # 1.20 m refined → 8.13 m accepted) — the range rate caps scale
+        # independent of the (possibly corrupted) speed state
+        solve_ok = (~do_solve) | ((jump < budget_m) & (ang < budget_rad)
+                                  & lidar_agrees(solved_speed))
         window = jax.tree_util.tree_map(
             lambda a, b: jnp.where(solve_ok, b, a), window, solved_window)
         sel_mask = jnp.where(solve_ok, sel_mask, st.sel_mask)
@@ -537,6 +582,12 @@ def make_scan_step(rig, cfg, solve_budget: Optional[int] = None,
         sp_new = jnp.linalg.norm(
             pose_ops.relative(out_pose, st.last_kf_pose)[4:]) \
             / jnp.maximum(kf_dt, 1e-3)
+        # the speed STATE is lidar-arbitrated too: it scales every budget
+        # (prior clamp, plausibility guards, landmark budgets), so a
+        # vision-corrupted value self-reinforces — the 25 m/s runaway
+        # (accepted 4.1-5.2 m/frame vs 2.5 gt for 120 frames) rode a
+        # speed state near 45 m/s that no gate could pull back
+        sp_new = jnp.where(lidar_agrees(sp_new), sp_new, speed_obs)
         speed = jnp.where(take_kf & (st.n_kf > 0) & (kf_dt > 1e-6),
                           sp_new, st.speed)
         st2 = ScanState(
@@ -559,8 +610,9 @@ def make_scan_step(rig, cfg, solve_budget: Optional[int] = None,
         )
         return st2, FrameOut(pose=out_pose, is_keyframe=take_kf,
                              solved=do_solve, cost=cost,
-                             prior=prior, refined=po.pose, po_ok=po_ok,
-                             n_usable=n_usable)
+                             prior=prior, refined=po.pose,
+                             speed_obs=speed_obs, n_rate=n_rate,
+                             po_ok=po_ok, n_usable=n_usable)
 
     return step
 
